@@ -1,0 +1,189 @@
+"""Linear DSGE model family: TPU-native solver + Kalman-filter likelihood.
+
+The reference delegates DSGE likelihoods to the external DSGE.jl package
+(state-space solution by QZ/gensys + Kalman filter, reference
+examples/dsge_models/small_dsge_model.jl:35-44). QZ (generalized Schur) has
+no TPU kernel, so a line-for-line port would fall off the accelerator. The
+TPU-native design solves the linear rational-expectations system by
+**linear time iteration** (Rendahl 2017):
+
+    A x_{t-1} + B x_t + C E_t[x_{t+1}] + D eps_t = 0
+    =>  x_t = X x_{t-1} + M eps_t,   X solving  A + B X + C X^2 = 0,
+    X_{k+1} = -(B + C X_k)^{-1} A,   M = -(B + C X)^{-1} D
+
+— a fixed-iteration loop of small batched solves that vmaps across
+particles into batched LU factorizations (ideal for SMC, where thousands of
+solves run per stage). Determinacy is checked Rendahl-style: the solution is
+the unique stable one iff rho(X) < 1 and rho(-(B + C X)^{-1} C) < 1;
+spectral radii are estimated by log-spaced repeated squaring (matmuls only).
+Failures (non-convergence, indeterminacy, explosiveness) yield -inf
+log-likelihood, mirroring gensys' rejection of such draws.
+
+The likelihood is the standard Kalman filter over the T observations as a
+`lax.scan` (SURVEY.md §5 long-context note: the sequential axis here is
+time, T ~ 80-200, inside each particle), with the initial covariance from a
+doubling-iteration Lyapunov solve.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_LOG_2PI = 1.8378770664093453
+
+
+# ---------------------------------------------------------------------------
+# Solver: linear time iteration + determinacy checks
+# ---------------------------------------------------------------------------
+
+
+def _spectral_radius_bound(M, n_squarings: int = 6):
+    """rho(M) estimate via ||M^(2^k)||_F^(1/2^k): repeated squaring with
+    renormalization; matmul-only, so it vmaps and runs on the MXU."""
+    def body(_, carry):
+        M, log_scale = carry
+        nrm = jnp.sqrt(jnp.sum(M * M)) + 1e-300
+        M = M / nrm
+        return M @ M, 2.0 * (log_scale + jnp.log(nrm))
+
+    # After k squarings of the normalized matrix, accumulated log||.|| tracks
+    # log ||M^(2^k)|| ; divide by 2^k for the radius bound.
+    n = M.shape[0]
+    M0 = M
+    log_scale = jnp.float64(0.0)
+    Mk, log_scale = jax.lax.fori_loop(0, n_squarings, body, (M0, log_scale))
+    nrm_last = jnp.sqrt(jnp.sum(Mk * Mk)) + 1e-300
+    total = log_scale + jnp.log(nrm_last)
+    return jnp.exp(total / (2.0 ** n_squarings))
+
+
+def solve_linear_re(A, B, C, D, n_iter: int = 200, tol: float = 1e-9):
+    """Solve A x_{t-1} + B x_t + C E_t x_{t+1} + D eps = 0 by linear time
+    iteration. Returns (X, M, ok): transition X, shock loading M, and a
+    boolean 'determinate solution found'."""
+    n = A.shape[0]
+
+    def body(_, X):
+        lhs = B + C @ X
+        return -jnp.linalg.solve(lhs, A)
+
+    X = jax.lax.fori_loop(0, n_iter, body, jnp.zeros_like(A))
+    lhs = B + C @ X
+    M = -jnp.linalg.solve(lhs, D)
+
+    resid = A + B @ X + C @ (X @ X)
+    converged = jnp.max(jnp.abs(resid)) < tol
+    stable = _spectral_radius_bound(X) < 1.0 - 1e-9
+    # uniqueness: forward operator F = -(B + C X)^{-1} C must be stable too
+    F = -jnp.linalg.solve(lhs, C)
+    unique = _spectral_radius_bound(F) < 1.0 - 1e-9
+    finite = jnp.all(jnp.isfinite(X)) & jnp.all(jnp.isfinite(M))
+    ok = converged & stable & unique & finite
+    X = jnp.where(ok, X, jnp.zeros_like(X))
+    M = jnp.where(ok, M, jnp.zeros_like(M))
+    return X, M, ok
+
+
+def lyapunov_doubling(T, Q, n_iter: int = 30):
+    """Solve P = T P T' + Q by doubling: P_{k+1} = P_k + A_k P_k A_k',
+    A_{k+1} = A_k A_k. Converges quadratically for stable T."""
+    def body(_, carry):
+        Ak, Pk = carry
+        return Ak @ Ak, Pk + Ak @ Pk @ Ak.T
+
+    _, P = jax.lax.fori_loop(0, n_iter, body, (T, Q))
+    return P
+
+
+# ---------------------------------------------------------------------------
+# Kalman filter likelihood (lax.scan over time)
+# ---------------------------------------------------------------------------
+
+
+def kalman_loglike(T_mat, R_mat, Q, Z, d_obs, H, data, P0=None):
+    """Gaussian log-likelihood of `data` [n_obs, T] under the state space
+        s_t = T s_{t-1} + R eta_t,  eta ~ N(0, Q)
+        y_t = d + Z s_t + u_t,      u ~ N(0, H)
+    Total: returns -inf on any non-finite intermediate instead of raising
+    (the reference catches PosDefException etc. — src/initialization.jl:46-54)."""
+    n_s = T_mat.shape[0]
+    RQR = R_mat @ Q @ R_mat.T
+    if P0 is None:
+        P0 = lyapunov_doubling(T_mat, RQR)
+    s0 = jnp.zeros(n_s)
+
+    ys = data.T  # [T, n_obs]
+
+    def step(carry, y):
+        s, P = carry
+        s_pred = T_mat @ s
+        P_pred = T_mat @ P @ T_mat.T + RQR
+        y_pred = d_obs + Z @ s_pred
+        v = y - y_pred
+        F = Z @ P_pred @ Z.T + H
+        F = 0.5 * (F + F.T)
+        L = jnp.linalg.cholesky(F)
+        alpha = jax.scipy.linalg.cho_solve((L, True), v)
+        ll = -0.5 * (y.shape[0] * _LOG_2PI
+                     + 2.0 * jnp.sum(jnp.log(jnp.diag(L)))
+                     + v @ alpha)
+        K = P_pred @ jax.scipy.linalg.cho_solve((L, True), Z).T
+        s_new = s_pred + K @ v
+        P_new = P_pred - K @ (Z @ P_pred)
+        P_new = 0.5 * (P_new + P_new.T)
+        return (s_new, P_new), ll
+
+    (_, _), lls = jax.lax.scan(step, (s0, P0), ys)
+    total = jnp.sum(lls)
+    return jnp.where(jnp.isfinite(total), total, -jnp.inf)
+
+
+# ---------------------------------------------------------------------------
+# LinearDSGE: generic model container
+# ---------------------------------------------------------------------------
+
+
+class LinearDSGE:
+    """A linear-RE DSGE defined by theta -> (A, B, C, D) structural matrices
+    plus a measurement equation theta -> (d, Z, H). The likelihood composes
+    solve_linear_re -> kalman_loglike, is total (bad draws -> -inf), and
+    vmaps across particles into batched linear algebra."""
+
+    def __init__(self, parameters: List, system_fn: Callable,
+                 measurement_fn: Callable, n_shocks: int,
+                 shock_cov_fn: Callable):
+        self.parameters = parameters
+        self.system_fn = system_fn
+        self.measurement_fn = measurement_fn
+        self.shock_cov_fn = shock_cov_fn
+        self.n_shocks = n_shocks
+
+    def loglike(self, theta, data):
+        A, B, C, D = self.system_fn(theta)
+        X, M, ok = solve_linear_re(A, B, C, D)
+        Q = self.shock_cov_fn(theta)
+        d_obs, Z, H = self.measurement_fn(theta)
+        ll = kalman_loglike(X, M, Q, Z, d_obs, H, jnp.asarray(data))
+        return jnp.where(ok, ll, -jnp.inf)
+
+    def simulate(self, theta, T: int, key, burn: int = 100):
+        """Simulate observables [n_obs, T] from the model at theta."""
+        A, B, C, D = self.system_fn(theta)
+        X, M, ok = solve_linear_re(A, B, C, D)
+        Q = self.shock_cov_fn(theta)
+        d_obs, Z, H = self.measurement_fn(theta)
+        chol_Q = jnp.linalg.cholesky(Q)
+        eps = jax.random.normal(key, (T + burn, self.n_shocks),
+                                dtype=jnp.float64) @ chol_Q.T
+
+        def step(s, e):
+            s_new = X @ s + M @ e
+            return s_new, s_new
+
+        _, states = jax.lax.scan(step, jnp.zeros(X.shape[0]), eps)
+        obs = d_obs[:, None] + Z @ states[burn:].T
+        return obs

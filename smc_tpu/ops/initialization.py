@@ -1,0 +1,101 @@
+"""Initialization: prior draws with retry-until-valid, likelihood re-init.
+
+Reference (src/initialization.jl):
+  * one_draw / initial_draw!: rejection-sample prior draws until the
+    likelihood and prior are finite (:23-63, :88-119). That per-particle
+    retry loop is data-dependent control flow; the TPU formulation is
+    *masked redraw rounds*: draw all N, evaluate batched, redraw the invalid
+    subset, repeat (SURVEY.md §7 "hard parts"). Each round is one jitted
+    batched evaluation; the expected number of rounds matches the
+    per-particle geometric retry of the reference.
+  * initialize_likelihoods!: retire loglh -> old_loglh, re-evaluate on new
+    data (:153-186) — one batched evaluation here.
+  * initialize_cloud_settings!: scalar state reset (:196-211) — handled by
+    the driver on the host-side Cloud fields.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from smc_tpu.cloud import Cloud
+
+
+def _eval_batch(space, loglike_batched, draws):
+    """Batched (loglh, logprior) with the reference's scrubbing: nan/-inf
+    loglh forces both to -inf (src/initialization.jl:43-44)."""
+    logprior = space.log_prior(draws)
+    loglh = loglike_batched(draws)
+    loglh = jnp.where(jnp.isnan(loglh), -jnp.inf, loglh)
+    bad = jnp.isneginf(loglh) | ~jnp.isfinite(logprior)
+    loglh = jnp.where(bad, -jnp.inf, loglh)
+    logprior = jnp.where(bad, -jnp.inf, logprior)
+    return loglh, logprior
+
+
+def initial_draw(key, space, loglike_batched: Callable, n_parts: int,
+                 max_rounds: int = 1000, sharding=None) -> Cloud:
+    """Draw n_parts valid particles from the prior (reference initial_draw!,
+    src/initialization.jl:88-119): loglh and logprior finite for every row.
+
+    Masked redraw rounds run on the host (round count is data-dependent and
+    small); each round is one batched prior-sample + likelihood evaluation.
+    Raises if max_rounds rounds can't produce a fully-valid cloud.
+    """
+    eval_jit = jax.jit(lambda d: _eval_batch(space, loglike_batched, d))
+
+    key, k0 = jax.random.split(key)
+    draws = space.sample_prior(k0, n_parts)
+    if sharding is not None:
+        draws = jax.device_put(draws, sharding)
+    loglh, logprior = eval_jit(draws)
+    invalid = ~(jnp.isfinite(loglh) & jnp.isfinite(logprior))
+
+    rounds = 0
+    n_bad = int(jnp.sum(invalid))
+    while n_bad > 0:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"initial_draw: {n_bad}/{n_parts} particles still invalid "
+                f"after {max_rounds} redraw rounds — the prior puts almost "
+                "no mass where the likelihood is finite")
+        key, kr = jax.random.split(key)
+        fresh = space.sample_prior(kr, n_parts)
+        draws = jnp.where(invalid[:, None], fresh, draws)
+        new_loglh, new_logprior = eval_jit(draws)
+        loglh = jnp.where(invalid, new_loglh, loglh)
+        logprior = jnp.where(invalid, new_logprior, logprior)
+        invalid = ~(jnp.isfinite(loglh) & jnp.isfinite(logprior))
+        n_bad = int(jnp.sum(invalid))
+
+    cloud = Cloud.create(space.n_para, n_parts, sharding=sharding)
+    cloud.params = draws
+    cloud.loglh = loglh
+    cloud.logprior = logprior
+    # old_loglh <- 0, weights <- 1 (src/initialization.jl:114-118)
+    return cloud
+
+
+def initialize_likelihoods(cloud: Cloud, space, loglike_batched: Callable) -> Cloud:
+    """Tempered-update setup (reference initialize_likelihoods!,
+    src/initialization.jl:153-186): copy loglh -> old_loglh, then re-evaluate
+    loglh/logprior on the NEW data for every particle. -inf on new data is
+    handled upstream by zero_bad_loglh_weights (reference TODO at :175)."""
+    cloud.old_loglh = cloud.loglh
+    logprior = space.log_prior(cloud.params)
+    loglh = loglike_batched(cloud.params)
+    cloud.loglh = jnp.where(jnp.isnan(loglh), -jnp.inf, loglh)
+    cloud.logprior = logprior
+    return cloud
+
+
+def draw_likelihood(space, loglike_batched: Callable, draws):
+    """(loglh, logprior) at given draws [N, P] (reference draw_likelihood,
+    src/initialization.jl:129-139), without the invalid-scrub coupling."""
+    logprior = space.log_prior(draws)
+    loglh = loglike_batched(draws)
+    return jnp.where(jnp.isnan(loglh), -jnp.inf, loglh), logprior

@@ -1,0 +1,21 @@
+"""Misc helpers.
+
+The reference's util.jl also defines Complex comparison overloads (<, min,
+max comparing real parts, src/util.jl:187-231) to support models whose
+solvers return complex eigenvalues; in JAX the analogue is sorting/comparing
+by the real part explicitly, provided here as `real_sort_key`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def real_sort_key(x):
+    """Comparison key for possibly-complex arrays: the real part (reference
+    src/util.jl:187-231 semantics)."""
+    return jnp.real(x)

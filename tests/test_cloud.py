@@ -1,0 +1,139 @@
+"""Cloud data structure: weighted statistics vs numpy, split/join,
+add_parameters_to_cloud (reference test/particle.jl, test/add_parameters_to_cloud.jl)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from smc_tpu.cloud import (Cloud, weighted_mean, weighted_cov, weighted_std,
+                           weighted_quantile, split_cloud, join_cloud,
+                           add_parameters_to_cloud)
+from smc_tpu.params import ParamSpace, parameter
+from smc_tpu.distributions import Normal, Uniform
+
+
+def _cloud(n=200, p=4, seed=0):
+    rng = np.random.default_rng(seed)
+    c = Cloud.create(p, n)
+    c.params = jnp.asarray(rng.normal(size=(n, p)))
+    c.loglh = jnp.asarray(rng.normal(-50, 3, n))
+    c.logprior = jnp.asarray(rng.normal(-5, 1, n))
+    w = rng.exponential(size=n)
+    c.weights = jnp.asarray(n * w / w.sum())
+    return c
+
+
+def test_create_defaults():
+    c = Cloud.create(3, 10)
+    assert c.n_parts == 10 and c.n_para == 3
+    assert float(jnp.sum(c.weights)) == 10.0
+    assert c.accept_rate == 0.25  # reference src/particle.jl:50-53
+
+
+def test_weighted_moments_vs_numpy():
+    c = _cloud()
+    vals = np.asarray(c.params)
+    w = np.asarray(c.weights)
+    mu = (w @ vals) / w.sum()
+    np.testing.assert_allclose(np.asarray(weighted_mean(c)), mu, rtol=1e-12)
+    dev = vals - mu
+    cov = (dev.T * w) @ dev / w.sum()
+    np.testing.assert_allclose(np.asarray(weighted_cov(c)), cov, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(weighted_std(c)),
+                               np.sqrt(np.diag(cov)), rtol=1e-10)
+
+
+def test_weighted_quantile():
+    c = _cloud(n=5000)
+    q = np.asarray(weighted_quantile(c, qs=(0.05, 0.95)))
+    assert q.shape == (2, 4)
+    assert np.all(q[0] < q[1])
+    # roughly the unweighted quantiles for near-uniform weights
+    c.weights = jnp.ones(5000)
+    q = np.asarray(weighted_quantile(c, qs=(0.5,)))
+    np.testing.assert_allclose(q[0], np.median(np.asarray(c.params), axis=0),
+                               atol=0.05)
+
+
+def test_normalize_and_reset_weights():
+    c = _cloud()
+    c.weights = c.weights * 7.3
+    norm = c.normalize_weights()
+    assert abs(float(jnp.sum(norm)) - c.n_parts) < 1e-9
+    c.reset_weights()
+    assert float(jnp.sum(c.weights)) == c.n_parts
+
+
+def test_zero_bad_loglh_weights():
+    c = _cloud()
+    c.loglh = c.loglh.at[3].set(-jnp.inf).at[7].set(jnp.nan)
+    c.zero_bad_loglh_weights()
+    w = np.asarray(c.weights)
+    assert w[3] == 0.0 and w[7] == 0.0
+    assert (w > 0).sum() == c.n_parts - 2
+
+
+def test_logpost_and_mode_particles():
+    c = _cloud()
+    lp = np.asarray(c.loglh) + np.asarray(c.logprior)
+    np.testing.assert_allclose(np.asarray(c.logpost), lp, rtol=1e-12)
+    k = int(np.argmax(np.asarray(c.loglh)))
+    np.testing.assert_array_equal(np.asarray(c.likeliest_particle_value()),
+                                  np.asarray(c.params)[k])
+    k = int(np.argmax(lp))
+    np.testing.assert_array_equal(
+        np.asarray(c.highest_posterior_particle_value()),
+        np.asarray(c.params)[k])
+
+
+def test_split_join_roundtrip():
+    """reference test/particle.jl:7-26 split/join equality."""
+    c = _cloud(n=120)
+    pieces = split_cloud(c, 4)
+    assert all(p.n_parts == 30 for p in pieces)
+    back = join_cloud(pieces)
+    np.testing.assert_array_equal(np.asarray(back.params), np.asarray(c.params))
+    np.testing.assert_array_equal(np.asarray(back.weights), np.asarray(c.weights))
+    np.testing.assert_array_equal(np.asarray(back.loglh), np.asarray(c.loglh))
+
+
+def test_reindexed_gathers_all_fields():
+    c = _cloud(n=50)
+    idx = jnp.asarray(np.random.default_rng(1).integers(0, 50, 50))
+    r = c.reindexed(idx)
+    np.testing.assert_array_equal(np.asarray(r.params),
+                                  np.asarray(c.params)[np.asarray(idx)])
+    np.testing.assert_array_equal(np.asarray(r.loglh),
+                                  np.asarray(c.loglh)[np.asarray(idx)])
+
+
+def test_add_parameters_to_cloud():
+    """reference test/add_parameters_to_cloud.jl:60-67: old columns kept,
+    loglh/weights preserved, new params drawn from prior, logprior updated,
+    old_loglh zeroed."""
+    old_space = ParamSpace([
+        parameter("a", 0.0, (-10, 10), prior=Normal(0, 1)),
+        parameter("b", 0.0, (-10, 10), prior=Normal(0, 2)),
+    ])
+    new_space = ParamSpace([
+        parameter("a", 0.0, (-10, 10), prior=Normal(0, 1)),
+        parameter("b", 0.0, (-10, 10), prior=Normal(0, 2)),
+        parameter("cnew", 0.5, (0, 1), prior=Uniform(0, 1)),
+    ])
+    c = _cloud(n=300, p=2)
+    old_params = np.asarray(c.params)
+    old_loglh = np.asarray(c.loglh)
+    old_weights = np.asarray(c.weights)
+
+    out = add_parameters_to_cloud(c, new_space, np.array([0, 1]),
+                                  jax.random.PRNGKey(0))
+    new = np.asarray(out.params)
+    assert new.shape == (300, 3)
+    np.testing.assert_array_equal(new[:, :2], old_params)
+    assert np.all((new[:, 2] >= 0) & (new[:, 2] <= 1))
+    np.testing.assert_array_equal(np.asarray(out.loglh), old_loglh)
+    np.testing.assert_array_equal(np.asarray(out.weights), old_weights)
+    np.testing.assert_array_equal(np.asarray(out.old_loglh), np.zeros(300))
+    # logprior recomputed under extended prior
+    expected_lp = np.asarray(jax.vmap(new_space.log_prior)(out.params))
+    np.testing.assert_allclose(np.asarray(out.logprior), expected_lp, rtol=1e-12)

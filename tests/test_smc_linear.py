@@ -1,0 +1,115 @@
+"""End-to-end estimation on the linear-regression fixture — the reference's
+primary accuracy gate (test/smc.jl:53-57: posterior mean within 0.5 of the
+true parameters) with the reference's own test configuration
+(test/smc.jl:27-30: default 5000 particles, n_phi=120, alpha=0.9, polyalgo,
+seeded), plus log-MDD and adaptive-schedule behavior."""
+
+import numpy as np
+import pytest
+import jax
+
+from smc_tpu import smc, marginal_data_density
+from smc_tpu.models.linear import (linear_parameters, make_linear_loglike,
+                                   generate_linear_data)
+
+TRUE = np.array([1.0, 1.0, 1.0, 2.0, 2.0, 1.0, 3.0, 3.0, 1.0])
+N_PARTS = 5000
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    data, X = generate_linear_data(seed=1793)
+    return data, make_linear_loglike(X)
+
+
+@pytest.fixture(scope="module")
+def result(fixture):
+    data, ll = fixture
+    # the reference's linear test config (test/smc.jl:27-30)
+    return smc(ll, linear_parameters(), data,
+               n_parts=N_PARTS, n_phi=120, lam=2.1, n_mh_steps=1, n_blocks=1,
+               alpha=0.9, resampling_method="polyalgo", verbose="none",
+               seed=42)
+
+
+def test_posterior_mean_within_half(result):
+    """The reference's gate (test/smc.jl:53-57)."""
+    mu = result.posterior_mean()
+    assert np.max(np.abs(mu - TRUE)) < 0.5, f"posterior mean {mu} vs {TRUE}"
+
+
+def test_posterior_std_reasonable(result):
+    sd = result.posterior_std()
+    assert np.all(sd > 0.0)
+    assert np.all(sd < 2.0)
+
+
+def test_schedule_and_ess_bookkeeping(result):
+    c = result.cloud
+    sched = np.asarray(c.tempering_schedule)
+    assert sched[0] == 0.0 and sched[-1] == 1.0
+    assert np.all(np.diff(sched) > 0)
+    assert len(c.ESS) == len(sched)
+    assert all(1.0 <= e <= c.n_parts + 1e-6 for e in c.ESS)
+    assert c.resamples >= 1  # fixture run always resamples at least once
+    assert 0.0 < c.accept_rate < 1.0
+
+
+def test_weight_matrices_and_mdd(result):
+    w, W = result.w, result.W
+    n_stages = len(result.cloud.tempering_schedule)
+    assert w.shape == (N_PARTS, n_stages) and W.shape == (N_PARTS, n_stages)
+    # every W column sums to N
+    np.testing.assert_allclose(W[:, 1:].sum(0), float(N_PARTS), rtol=1e-8)
+    # online-accumulated log MDD == matrix formula (src/smc_main.jl rationale)
+    np.testing.assert_allclose(result.log_mdd, marginal_data_density(w, W),
+                               rtol=1e-10)
+    assert np.isfinite(result.log_mdd)
+
+
+def test_adaptive_schedule_run(fixture):
+    """Adaptive phi (reference solve_adaptive_phi): schedule chosen so ESS
+    decays by the target fraction per stage; bounded above by the fixed
+    schedule so it may use MORE stages than n_phi, with a sharper posterior
+    and better MDD than the coarse fixed run."""
+    data, ll = fixture
+    res = smc(ll, linear_parameters(), data,
+              n_parts=N_PARTS, n_phi=120, lam=2.1, alpha=0.9,
+              use_fixed_schedule=False, tempering_target=0.97,
+              resampling_method="systematic", verbose="none", seed=42)
+    mu = res.posterior_mean()
+    assert np.max(np.abs(mu - TRUE)) < 0.5
+    sched = np.asarray(res.cloud.tempering_schedule)
+    assert np.all(np.diff(sched) > 0) and sched[-1] == 1.0
+    assert np.isfinite(res.log_mdd)
+
+
+def test_blocked_mixture_run(fixture):
+    """n_blocks=3, alpha=0.9, 2 MH steps — the production DSGE shape
+    (reference examples/dsge_models/dsge_model.jl)."""
+    data, ll = fixture
+    res = smc(ll, linear_parameters(), data,
+              n_parts=N_PARTS, n_phi=80, lam=2.1, n_blocks=3, n_mh_steps=2,
+              alpha=0.9, resampling_method="multinomial", verbose="none",
+              seed=42)
+    mu = res.posterior_mean()
+    assert np.max(np.abs(mu - TRUE)) < 0.5
+
+
+def test_run_test_early_break(fixture):
+    """run_test stops after stage 3 (reference src/smc_main.jl:495-497)."""
+    data, ll = fixture
+    res = smc(ll, linear_parameters(), data,
+              n_parts=100, n_phi=50, lam=2.0, run_test=True, verbose="none",
+              seed=0)
+    assert res.cloud.stage_index == 3
+
+
+def test_seed_reproducibility(fixture):
+    data, ll = fixture
+    kw = dict(n_parts=100, n_phi=30, lam=2.0, verbose="none", seed=123)
+    r1 = smc(ll, linear_parameters(), data, **kw)
+    r2 = smc(ll, linear_parameters(), data, **kw)
+    np.testing.assert_array_equal(np.asarray(r1.cloud.params),
+                                  np.asarray(r2.cloud.params))
+    assert r1.log_mdd == r2.log_mdd
