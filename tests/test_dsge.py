@@ -1,0 +1,164 @@
+"""DSGE stack: linear-time-iteration RE solver, Lyapunov doubling, Kalman
+filter, and the An-Schorfheide model (solution sanity, determinacy
+rejection, likelihood behavior)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from scipy import linalg as sla
+
+from smc_tpu.models.dsge import (solve_linear_re, lyapunov_doubling,
+                                 kalman_loglike, _spectral_radius_bound)
+from smc_tpu.models.as_dsge import (an_schorfheide, an_schorfheide_parameters,
+                                    generate_as_data, TRUE_PARAMS,
+                                    PARAM_NAMES, _system, _shock_cov,
+                                    _measurement)
+from smc_tpu.params import ParamSpace
+
+
+def test_spectral_radius_bound():
+    rng = np.random.default_rng(0)
+    M = rng.normal(size=(6, 6))
+    rho = np.max(np.abs(np.linalg.eigvals(M)))
+    est = float(_spectral_radius_bound(jnp.asarray(M)))
+    assert abs(est - rho) / rho < 0.05
+
+
+def test_solve_simple_ar_system():
+    """Backward-only system (C = 0): x_t = rho x_{t-1} + eps, solved exactly."""
+    rho = 0.9
+    A = jnp.asarray([[rho]])
+    B = jnp.asarray([[-1.0]])
+    C = jnp.zeros((1, 1))
+    D = jnp.asarray([[1.0]])
+    X, M, ok = solve_linear_re(A, B, C, D)
+    assert bool(ok)
+    np.testing.assert_allclose(float(X[0, 0]), rho, rtol=1e-12)
+    np.testing.assert_allclose(float(M[0, 0]), 1.0, rtol=1e-12)
+
+
+def test_solve_forward_looking_system():
+    """Purely forward system x_t = a E[x_{t+1}] + eps with |a| < 1: unique
+    stable solution is x_t = eps_t (X = 0, M = 1)."""
+    a = 0.5
+    A = jnp.zeros((1, 1))
+    B = jnp.asarray([[-1.0]])
+    C = jnp.asarray([[a]])
+    D = jnp.asarray([[1.0]])
+    X, M, ok = solve_linear_re(A, B, C, D)
+    assert bool(ok)
+    np.testing.assert_allclose(float(X[0, 0]), 0.0, atol=1e-12)
+    np.testing.assert_allclose(float(M[0, 0]), 1.0, rtol=1e-12)
+
+
+def test_explosive_system_rejected():
+    A = jnp.asarray([[1.5]])   # x_t = 1.5 x_{t-1}: explosive
+    B = jnp.asarray([[-1.0]])
+    C = jnp.zeros((1, 1))
+    D = jnp.asarray([[1.0]])
+    _, _, ok = solve_linear_re(A, B, C, D)
+    assert not bool(ok)
+
+
+def test_lyapunov_doubling_matches_scipy():
+    rng = np.random.default_rng(1)
+    T = 0.9 * sla.orth(rng.normal(size=(4, 4)))  # spectral radius 0.9
+    Q0 = rng.normal(size=(4, 4))
+    Q = Q0 @ Q0.T
+    P = np.asarray(lyapunov_doubling(jnp.asarray(T), jnp.asarray(Q)))
+    expected = sla.solve_discrete_lyapunov(T, Q)
+    np.testing.assert_allclose(P, expected, rtol=1e-8)
+
+
+def test_kalman_loglike_matches_direct_gaussian():
+    """For a 1-D AR(1) state observed directly, compare against the exact
+    multivariate-normal likelihood of the data vector."""
+    rho, q, h = 0.8, 0.5, 0.1
+    T_mat = jnp.asarray([[rho]])
+    R_mat = jnp.asarray([[1.0]])
+    Q = jnp.asarray([[q]])
+    Z = jnp.asarray([[1.0]])
+    d = jnp.zeros(1)
+    H = jnp.asarray([[h]])
+    rng = np.random.default_rng(2)
+    T_len = 50
+    data = rng.normal(size=(1, T_len))
+
+    got = float(kalman_loglike(T_mat, R_mat, Q, Z, d, H, jnp.asarray(data)))
+
+    # exact: y ~ N(0, Sigma) with Sigma_ij = h 1{i=j} + q rho^|i-j| / (1-rho^2)
+    idx = np.arange(T_len)
+    Sigma = q * rho ** np.abs(idx[:, None] - idx[None, :]) / (1 - rho ** 2) \
+        + h * np.eye(T_len)
+    from scipy.stats import multivariate_normal
+    expected = multivariate_normal.logpdf(data[0], mean=np.zeros(T_len),
+                                          cov=Sigma)
+    np.testing.assert_allclose(got, expected, rtol=1e-8)
+
+
+# ---- An-Schorfheide ----
+
+
+def test_as_solves_at_true_params():
+    A, B, C, D = _system(jnp.asarray(TRUE_PARAMS))
+    X, M, ok = solve_linear_re(A, B, C, D)
+    assert bool(ok)
+    # transition residual tiny
+    resid = np.asarray(A + B @ X + C @ (X @ X))
+    assert np.max(np.abs(resid)) < 1e-9
+    # persistence of exogenous states shows up on the diagonal
+    Xn = np.asarray(X)
+    assert abs(Xn[3, 3] - 0.95) < 1e-9  # rho_g
+    assert abs(Xn[4, 4] - 0.9) < 1e-9   # rho_z
+
+
+def test_as_indeterminate_when_taylor_principle_violated():
+    """psi1 < 1 (passive policy) makes the AS model indeterminate; the
+    solver must reject the draw like gensys does."""
+    theta = TRUE_PARAMS.copy()
+    theta[2] = 0.5  # psi1
+    A, B, C, D = _system(jnp.asarray(theta))
+    _, _, ok = solve_linear_re(A, B, C, D)
+    assert not bool(ok)
+
+
+def test_as_loglike_finite_and_peaked_at_truth():
+    model = an_schorfheide()
+    data = generate_as_data(T=80, seed=1793)
+    ll_true = float(model.loglike(jnp.asarray(TRUE_PARAMS), data))
+    assert np.isfinite(ll_true)
+    # perturbed params fit worse
+    theta2 = TRUE_PARAMS.copy()
+    theta2[0] = 3.5   # tau
+    theta2[10] = 0.8  # sig_R
+    ll_pert = float(model.loglike(jnp.asarray(theta2), data))
+    assert np.isfinite(ll_pert)
+    assert ll_true > ll_pert
+    # indeterminate draw -> -inf
+    theta3 = TRUE_PARAMS.copy()
+    theta3[2] = 0.5
+    assert float(model.loglike(jnp.asarray(theta3), data)) == -np.inf
+
+
+def test_as_loglike_vmaps():
+    model = an_schorfheide()
+    data = generate_as_data(T=80, seed=1793)
+    space = ParamSpace(an_schorfheide_parameters())
+    draws = space.sample_prior(jax.random.PRNGKey(0), 32)
+    lls = np.asarray(jax.jit(jax.vmap(lambda th: model.loglike(th, data)))(draws))
+    assert lls.shape == (32,)
+    # some prior draws solve, some don't; all total (no nan)
+    assert not np.any(np.isnan(lls))
+    assert np.any(np.isfinite(lls))
+
+
+def test_as_prior_sampling_in_bounds():
+    space = ParamSpace(an_schorfheide_parameters())
+    draws = np.asarray(space.sample_prior(jax.random.PRNGKey(1), 5000))
+    names = dict(zip(PARAM_NAMES, range(13)))
+    assert draws[:, names["kappa"]].min() >= 0.0
+    assert draws[:, names["kappa"]].max() <= 1.0
+    assert draws[:, names["sig_R"]].min() > 0.0
+    # Gamma(mean 2, std .5) prior on tau
+    assert abs(draws[:, names["tau"]].mean() - 2.0) < 0.05
