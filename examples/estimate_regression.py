@@ -1,0 +1,32 @@
+"""Estimate the 2-parameter regression (reference examples/regression_model/
+estimate_regression.jl: 100 particles, all-default schedule).
+
+Run: python examples/estimate_regression.py
+"""
+
+import numpy as np
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import smc_tpu
+from smc_tpu.models.regression import (regression_parameters,
+                                       make_regression_loglike,
+                                       generate_regression_data)
+
+
+def main():
+    y, x = generate_regression_data(n=100, seed=1793)
+    loglike = make_regression_loglike(x)
+
+    result = smc_tpu.smc(loglike, regression_parameters(), y,
+                         n_parts=100, verbose="low", seed=0)
+
+    mu, sd = result.posterior_mean(), result.posterior_std()
+    print(f"\nalpha: mean={mu[0]:.3f} std={sd[0]:.3f} (true 1.0)")
+    print(f"beta : mean={mu[1]:.3f} std={sd[1]:.3f} (true 1.0)")
+    print(f"log marginal data density: {result.log_mdd:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -87,6 +87,38 @@ def save_particle_store(path: str, cloud: Cloud) -> None:
     np.save(path if path.endswith(".npy") else path + ".npy", params)
 
 
+def split_cloud_file(path: str, n_pieces: int) -> list:
+    """Split a saved cloud into n_pieces row-slice files
+    `<path>_part{i}.npz` (reference split_cloud, src/particle.jl:542-598 —
+    its workaround for GitHub's 100MB limit). Returns the piece paths."""
+    from smc_tpu.cloud import split_cloud as _split
+    cloud, extra = load_cloud(path)
+    base = path[:-4] if path.endswith(".npz") else path
+    out = []
+    for i, piece in enumerate(_split(cloud, n_pieces), start=1):
+        p = f"{base}_part{i}.npz"
+        save_cloud(p, piece, extra=extra if i == 1 else None)
+        out.append(p)
+    return out
+
+
+def join_cloud_file(path: str, n_pieces: int) -> str:
+    """Rejoin `<path>_part{i}.npz` pieces into `<path>` (reference
+    join_cloud, src/particle.jl:600-648). Returns the joined path."""
+    from smc_tpu.cloud import join_cloud as _join
+    base = path[:-4] if path.endswith(".npz") else path
+    pieces, extra = [], {}
+    for i in range(1, n_pieces + 1):
+        c, e = load_cloud(f"{base}_part{i}.npz")
+        pieces.append(c)
+        if e:
+            extra = e
+    joined = _join(pieces)
+    save_cloud(path if path.endswith(".npz") else path + ".npz", joined,
+               extra=extra or None)
+    return path
+
+
 def intermediate_path(savepath: str, stage: int) -> str:
     """Per-stage checkpoint path (reference `_stage=K` suffixing,
     src/smc_main.jl:500)."""

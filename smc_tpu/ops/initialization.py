@@ -16,6 +16,7 @@ Reference (src/initialization.jl):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Tuple
 
 import jax
@@ -45,17 +46,35 @@ def initial_draw(key, space, loglike_batched: Callable, n_parts: int,
     small); each round is one batched prior-sample + likelihood evaluation.
     Raises if max_rounds rounds can't produce a fully-valid cloud.
     """
-    eval_jit = jax.jit(lambda d: _eval_batch(space, loglike_batched, d))
+    # Everything is jitted into TWO programs (draw+eval, redraw-round) so
+    # the whole initialization costs two XLA compiles regardless of round
+    # count — important where compiles are expensive (remote TPU service).
+    out_shardings = None
+    if sharding is not None:
+        out_shardings = ((sharding, sharding, sharding), None)
+
+    @partial(jax.jit, out_shardings=out_shardings)
+    def first_draw(k):
+        draws = space.sample_prior(k, n_parts)
+        loglh, logprior = _eval_batch(space, loglike_batched, draws)
+        n_bad = jnp.sum(~(jnp.isfinite(loglh) & jnp.isfinite(logprior)))
+        return (draws, loglh, logprior), n_bad
+
+    @partial(jax.jit, out_shardings=out_shardings)
+    def redraw_round(k, draws, loglh, logprior):
+        invalid = ~(jnp.isfinite(loglh) & jnp.isfinite(logprior))
+        fresh = space.sample_prior(k, n_parts)
+        draws = jnp.where(invalid[:, None], fresh, draws)
+        new_loglh, new_logprior = _eval_batch(space, loglike_batched, draws)
+        loglh = jnp.where(invalid, new_loglh, loglh)
+        logprior = jnp.where(invalid, new_logprior, logprior)
+        n_bad = jnp.sum(~(jnp.isfinite(loglh) & jnp.isfinite(logprior)))
+        return (draws, loglh, logprior), n_bad
 
     key, k0 = jax.random.split(key)
-    draws = space.sample_prior(k0, n_parts)
-    if sharding is not None:
-        draws = jax.device_put(draws, sharding)
-    loglh, logprior = eval_jit(draws)
-    invalid = ~(jnp.isfinite(loglh) & jnp.isfinite(logprior))
-
+    (draws, loglh, logprior), n_bad = first_draw(k0)
     rounds = 0
-    n_bad = int(jnp.sum(invalid))
+    n_bad = int(n_bad)
     while n_bad > 0:
         rounds += 1
         if rounds > max_rounds:
@@ -64,13 +83,9 @@ def initial_draw(key, space, loglike_batched: Callable, n_parts: int,
                 f"after {max_rounds} redraw rounds — the prior puts almost "
                 "no mass where the likelihood is finite")
         key, kr = jax.random.split(key)
-        fresh = space.sample_prior(kr, n_parts)
-        draws = jnp.where(invalid[:, None], fresh, draws)
-        new_loglh, new_logprior = eval_jit(draws)
-        loglh = jnp.where(invalid, new_loglh, loglh)
-        logprior = jnp.where(invalid, new_logprior, logprior)
-        invalid = ~(jnp.isfinite(loglh) & jnp.isfinite(logprior))
-        n_bad = int(jnp.sum(invalid))
+        (draws, loglh, logprior), n_bad = redraw_round(kr, draws, loglh,
+                                                       logprior)
+        n_bad = int(n_bad)
 
     cloud = Cloud.create(space.n_para, n_parts, sharding=sharding)
     cloud.params = draws
@@ -84,12 +99,17 @@ def initialize_likelihoods(cloud: Cloud, space, loglike_batched: Callable) -> Cl
     """Tempered-update setup (reference initialize_likelihoods!,
     src/initialization.jl:153-186): copy loglh -> old_loglh, then re-evaluate
     loglh/logprior on the NEW data for every particle. -inf on new data is
-    handled upstream by zero_bad_loglh_weights (reference TODO at :175)."""
+    handled upstream by zero_bad_loglh_weights (reference TODO at :175).
+    One jitted program."""
+
+    @jax.jit
+    def reval(params):
+        logprior = space.log_prior(params)
+        loglh = loglike_batched(params)
+        return jnp.where(jnp.isnan(loglh), -jnp.inf, loglh), logprior
+
     cloud.old_loglh = cloud.loglh
-    logprior = space.log_prior(cloud.params)
-    loglh = loglike_batched(cloud.params)
-    cloud.loglh = jnp.where(jnp.isnan(loglh), -jnp.inf, loglh)
-    cloud.logprior = logprior
+    cloud.loglh, cloud.logprior = reval(cloud.params)
     return cloud
 
 

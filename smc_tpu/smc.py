@@ -180,7 +180,16 @@ def smc(loglikelihood: Callable,
         key=None,
         mesh=None,
         run_csminwel: bool = False,
-        debug_assertion: bool = False) -> SMCResult:
+        debug_assertion: bool = False,
+        # --- accepted for kwarg-surface parity with the reference
+        #     (src/smc_main.jl:118-161); see docstring ---
+        parallel: Optional[bool] = None,
+        testing: bool = False,
+        data_vintage: Optional[str] = None,
+        old_vintage: str = "",
+        smc_iteration: int = 1,
+        filestring_addl=(),
+        intermediate_stage_start: int = 0) -> SMCResult:
     """Estimate p(theta|Y) by adaptive-tempered SMC.
 
     Mirrors the reference's kwarg surface (src/smc_main.jl:118-161) with
@@ -202,7 +211,16 @@ def smc(loglikelihood: Callable,
 
     `run_csminwel` is accepted for parity but, like the reference at this
     version (SURVEY.md §2.7 note), posterior-mode polish is not run.
+
+    Parity-only kwargs: `parallel` (always data-parallel here; pass `mesh`
+    to span devices), `testing` (suppresses final disk writes, reference
+    src/smc_main.jl:513), `data_vintage`/`old_vintage`/`smc_iteration`/
+    `filestring_addl` (file-naming conventions the reference's Settings
+    layer uses; our savepath is explicit), `intermediate_stage_start`
+    (resume stage is read from the checkpoint itself).
     """
+    del parallel, data_vintage, old_vintage, smc_iteration, filestring_addl
+    del intermediate_stage_start
     if resampling_method not in VALID_METHODS:
         raise ValueError(f"resampling_method must be one of {VALID_METHODS}")
     if not (0.0 <= tempered_update_prior_weight <= 1.0):
@@ -445,13 +463,13 @@ def smc(loglikelihood: Callable,
     # ---- final artifacts (reference src/smc_main.jl:513-526) --------------
     w_matrix = np.stack(w_cols, axis=1) if store_weight_matrices else None
     W_matrix = np.stack(W_cols, axis=1) if store_weight_matrices else None
-    if savepath:
+    if savepath and not testing:
         extra = {}
         if store_weight_matrices:
             extra = {"w": w_matrix, "W": W_matrix}
         extra["log_mdd"] = np.asarray(log_mdd)
         smc_io.save_cloud(savepath, cloud, extra=extra)
-    if particle_store_path:
+    if particle_store_path and not testing:
         smc_io.save_particle_store(particle_store_path, cloud)
 
     return SMCResult(cloud=cloud, w=w_matrix, W=W_matrix, log_mdd=log_mdd,

@@ -20,7 +20,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compile cache: makes re-runs of the suite much faster.
-os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# SMC_TPU_JAX_CACHE overrides the location (e.g. to avoid concurrent access
+# with a TPU bench process using the default dir).
+_cache = os.environ.get("SMC_TPU_JAX_CACHE", "/root/repo/.jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

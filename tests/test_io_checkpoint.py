@@ -75,3 +75,35 @@ def test_checkpoint_resume_bit_identical(fixture, tmp_path):
                                   np.asarray(full.cloud.params))
     np.testing.assert_allclose(resumed.log_mdd, full.log_mdd, rtol=1e-12)
     assert resumed.cloud.tempering_schedule == full.cloud.tempering_schedule
+
+
+def test_split_join_cloud_files(tmp_path):
+    """File-level split/join parity (reference src/particle.jl:542-648)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    c = Cloud.create(3, 40)
+    c.params = jnp.asarray(rng.normal(size=(40, 3)))
+    c.loglh = jnp.asarray(rng.normal(size=40))
+    path = str(tmp_path / "big_cloud.npz")
+    save_cloud(path, c, extra={"w": np.ones((40, 2))})
+    pieces = smc_io.split_cloud_file(path, 4)
+    assert len(pieces) == 4
+    import os
+    os.remove(path)
+    smc_io.join_cloud_file(path, 4)
+    back, extra = load_cloud(path)
+    np.testing.assert_array_equal(np.asarray(back.params), np.asarray(c.params))
+    np.testing.assert_array_equal(extra["w"], np.ones((40, 2)))
+
+
+def test_parity_kwargs_accepted_and_testing_suppresses_writes(fixture, tmp_path):
+    data, ll = fixture
+    savepath = str(tmp_path / "nope.npz")
+    from smc_tpu.models.linear import linear_parameters
+    res = smc(ll, linear_parameters(), data,
+              n_parts=100, n_phi=20, lam=2.0, verbose="none", seed=2,
+              parallel=True, testing=True, data_vintage="200707",
+              smc_iteration=0, savepath=savepath)
+    import os
+    assert not os.path.exists(savepath)  # testing=True suppresses writes
+    assert np.isfinite(res.log_mdd)
