@@ -41,9 +41,16 @@ from smc_tpu.cloud import (
 )
 from smc_tpu.ops.resample import resample
 from smc_tpu.ops.correction import compute_ess, incremental_weights
-from smc_tpu.ops.mutation import mutation, mvnormal_mixture_draw
+from smc_tpu.ops.mutation import (mutation, mvnormal_mixture_draw,
+    compute_proposal_densities, generate_free_blocks, generate_all_blocks,
+    generate_param_blocks)
 from smc_tpu.ops.initialization import initial_draw, initialize_likelihoods
-from smc_tpu.io import get_cloud, save_cloud, load_cloud
+from smc_tpu.io import (get_cloud, save_cloud, load_cloud,
+    split_cloud_file, join_cloud_file)
+from smc_tpu.settings import (GenericModel, Setting, smc_settings_kwargs,
+    rawpath, dataroot, DATE_FORMAT)
+from smc_tpu.ops.schedule import solve_adaptive_phi, fixed_schedule
+from smc_tpu.diagnostics import VERBOSITY, check_nan_ess
 from smc_tpu.smc import smc, SMCResult, marginal_data_density
 
 __version__ = "0.1.0"
@@ -76,4 +83,20 @@ __all__ = [
     "Untransformed",
     "SquareRoot",
     "Exponential",
+    "compute_proposal_densities",
+    "generate_free_blocks",
+    "generate_all_blocks",
+    "generate_param_blocks",
+    "split_cloud_file",
+    "join_cloud_file",
+    "GenericModel",
+    "Setting",
+    "smc_settings_kwargs",
+    "rawpath",
+    "dataroot",
+    "DATE_FORMAT",
+    "solve_adaptive_phi",
+    "fixed_schedule",
+    "VERBOSITY",
+    "check_nan_ess",
 ]

@@ -34,3 +34,9 @@ from smc_tpu.models.as_dsge import (
     generate_as_data,
     TRUE_PARAMS as AS_TRUE_PARAMS,
 )
+from smc_tpu.models.sw_dsge import (
+    smets_wouters,
+    sw_parameters,
+    generate_sw_data,
+    TRUE_PARAMS as SW_TRUE_PARAMS,
+)

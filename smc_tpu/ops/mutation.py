@@ -239,6 +239,33 @@ def make_mutation_step(
 # ---------------------------------------------------------------------------
 
 
+def generate_free_blocks(key, n_free_para: int, n_blocks: int):
+    """Random partition of the free-parameter ordinals into ~equal blocks
+    (reference generate_free_blocks, src/helpers.jl:215-231). Returns a list
+    of index arrays. The mutation kernel consumes the same structure as
+    (permutation, static sizes); this explicit form is for API parity and
+    inspection."""
+    perm = jax.random.permutation(key, n_free_para)
+    sizes = block_sizes(n_free_para, n_blocks)
+    offsets = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+    return [perm[int(o):int(o) + s] for o, s in zip(offsets, sizes)]
+
+
+def generate_all_blocks(blocks_free, free_para_inds):
+    """Map free-ordinal blocks to full-parameter indices (reference
+    generate_all_blocks, src/helpers.jl:244-260)."""
+    free_para_inds = jnp.asarray(free_para_inds)
+    return [free_para_inds[b] for b in blocks_free]
+
+
+def generate_param_blocks(key, n_params: int, n_blocks: int):
+    """Random ~equal partition of 0..n_params-1, each block sorted
+    (reference generate_param_blocks, src/helpers.jl:183-204)."""
+    if n_blocks == 1:
+        return [jnp.arange(n_params)]
+    return [jnp.sort(b) for b in generate_free_blocks(key, n_params, n_blocks)]
+
+
 def mvnormal_mixture_draw(key, theta_old, mean, cov, c: float = 1.0,
                           alpha: float = 1.0):
     """One draw from the 3-component mixture proposal (reference
