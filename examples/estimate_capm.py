@@ -4,6 +4,12 @@ estimate_capm.jl): R_it = alpha_i + beta_i R_Mt + eps_it for 3 assets.
 Run: python examples/estimate_capm.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import numpy as np
 import jax
 

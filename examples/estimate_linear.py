@@ -5,6 +5,12 @@ test fixture of reference test/modelsetup.jl).
 Run: python examples/estimate_linear.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import numpy as np
 import jax
 

@@ -4,6 +4,12 @@ estimate_regression.jl: 100 particles, all-default schedule).
 Run: python examples/estimate_regression.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import numpy as np
 import jax
 

@@ -6,6 +6,12 @@ accelerator, batched likelihoods).
 Run: python examples/estimate_sw_dsge.py     (heavy on CPU; sized for TPU)
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import numpy as np
 import jax
 

@@ -4,18 +4,17 @@ The reference delegates DSGE likelihoods to the external DSGE.jl package
 (state-space solution by QZ/gensys + Kalman filter, reference
 examples/dsge_models/small_dsge_model.jl:35-44). QZ (generalized Schur) has
 no TPU kernel, so a line-for-line port would fall off the accelerator. The
-TPU-native design solves the linear rational-expectations system by
-**linear time iteration** (Rendahl 2017):
+TPU-native design solves the linear rational-expectations system
 
     A x_{t-1} + B x_t + C E_t[x_{t+1}] + D eps_t = 0
-    =>  x_t = X x_{t-1} + M eps_t,   X solving  A + B X + C X^2 = 0,
-    X_{k+1} = -(B + C X_k)^{-1} A,   M = -(B + C X)^{-1} D
+    =>  x_t = X x_{t-1} + M eps_t,   X solving  A + B X + C X^2 = 0
 
-— a fixed-iteration loop of small batched solves that vmaps across
-particles into batched LU factorizations (ideal for SMC, where thousands of
-solves run per stage). Determinacy is checked Rendahl-style: the solution is
-the unique stable one iff rho(X) < 1 and rho(-(B + C X)^{-1} C) < 1;
-spectral radii are estimated by log-spaced repeated squaring (matmuls only).
+by **cyclic reduction** (Bini & Meini) — a quadratically-convergent
+fixed-iteration loop of small batched matmuls and mixed-precision solves
+that vmaps across particles (ideal for SMC, where thousands of solves run
+per stage). Determinacy is checked Rendahl-style: the solution is the
+unique stable one iff rho(X) < 1 and rho(-(B + C X)^{-1} C) < 1; spectral
+radii are estimated by log-spaced repeated squaring (matmuls only).
 Failures (non-convergence, indeterminacy, explosiveness) yield -inf
 log-likelihood, mirroring gensys' rejection of such draws.
 
@@ -37,7 +36,56 @@ _LOG_2PI = 1.8378770664093453
 
 
 # ---------------------------------------------------------------------------
-# Solver: linear time iteration + determinacy checks
+# Mixed-precision linear algebra
+#
+# TPU XLA implements LU decomposition (and lu_solve's triangular solves) in
+# f32 only ("Only F32 and C64 types are implemented in LuDecomposition"),
+# while matmuls, cholesky, eigh, and qr all support f64. The classic
+# mixed-precision recipe recovers (near-)f64 solves from the f32 factorization:
+# factorize in f32, then iteratively refine with residuals computed in f64.
+# Two refinement sweeps give ~1e-12 relative accuracy for cond(A) <~ 1e5 —
+# and the f32 factorization is the *native fast path* on the hardware, so
+# this is faster than an emulated f64 LU would be. Used uniformly on every
+# backend so CPU and TPU runs share numerics.
+# ---------------------------------------------------------------------------
+
+
+def mp_solve(A, B, n_refine: int = 2):
+    """Solve A X = B in (near-)f64 via f32 LU + f64 iterative refinement."""
+    A = jnp.asarray(A, jnp.float64)
+    B = jnp.asarray(B, jnp.float64)
+    lu, piv = jax.scipy.linalg.lu_factor(A.astype(jnp.float32))
+
+    def f32_solve(R):
+        return jax.scipy.linalg.lu_solve(
+            (lu, piv), R.astype(jnp.float32)).astype(jnp.float64)
+
+    X = f32_solve(B)
+    for _ in range(n_refine):
+        X = X + f32_solve(B - A @ X)
+    return X
+
+
+def mp_psd_solve(F, B, n_refine: int = 2):
+    """Solve F X = B for symmetric positive-definite F via f32 Cholesky +
+    f64 refinement (TPU supports f64 cholesky but not the triangular solves
+    behind cho_solve)."""
+    F = jnp.asarray(F, jnp.float64)
+    B = jnp.asarray(B, jnp.float64)
+    L32 = jnp.linalg.cholesky(F.astype(jnp.float32))
+
+    def f32_solve(R):
+        return jax.scipy.linalg.cho_solve(
+            (L32, True), R.astype(jnp.float32)).astype(jnp.float64)
+
+    X = f32_solve(B)
+    for _ in range(n_refine):
+        X = X + f32_solve(B - F @ X)
+    return X
+
+
+# ---------------------------------------------------------------------------
+# Solver: cyclic reduction + determinacy checks
 # ---------------------------------------------------------------------------
 
 
@@ -80,24 +128,24 @@ def solve_linear_re(A, B, C, D, n_iter: int = 16, tol: float = 1e-8):
 
     def cr_body(_, carry):
         A0, A1, A2, Ah = carry
-        SA0 = jnp.linalg.solve(A1, A0)
-        SA2 = jnp.linalg.solve(A1, A2)
+        SA0 = mp_solve(A1, A0)
+        SA2 = mp_solve(A1, A2)
         A2SA0 = A2 @ SA0
         Ah = Ah - A2SA0
         A1n = A1 - A0 @ SA2 - A2SA0
         return -A0 @ SA0, A1n, -A2 @ SA2, Ah
 
     _, _, _, Ah = jax.lax.fori_loop(0, n_iter, cr_body, (A, B, C, B))
-    X = -jnp.linalg.solve(Ah, A)
+    X = -mp_solve(Ah, A)
     lhs = B + C @ X
-    M = -jnp.linalg.solve(lhs, D)
+    M = -mp_solve(lhs, D)
 
     resid = A + B @ X + C @ (X @ X)
     scale = jnp.maximum(jnp.max(jnp.abs(A)), 1.0)
     converged = jnp.max(jnp.abs(resid)) < tol * scale
     stable = _spectral_radius_bound(X) < 1.0
     # uniqueness: forward operator F = -(B + C X)^{-1} C must be stable too
-    F = -jnp.linalg.solve(lhs, C)
+    F = -mp_solve(lhs, C)
     unique = _spectral_radius_bound(F) < 1.0
     finite = jnp.all(jnp.isfinite(X)) & jnp.all(jnp.isfinite(M))
     ok = converged & stable & unique & finite
@@ -144,12 +192,16 @@ def kalman_loglike(T_mat, R_mat, Q, Z, d_obs, H, data, P0=None):
         v = y - y_pred
         F = Z @ P_pred @ Z.T + H
         F = 0.5 * (F + F.T)
+        # f64 cholesky is TPU-supported and gives the logdet; the solves go
+        # through the mixed-precision path (f32 cho_solve + f64 refinement)
         L = jnp.linalg.cholesky(F)
-        alpha = jax.scipy.linalg.cho_solve((L, True), v)
+        rhs = jnp.concatenate([v[:, None], Z], axis=1)
+        sol = mp_psd_solve(F, rhs)
+        alpha = sol[:, 0]
         ll = -0.5 * (y.shape[0] * _LOG_2PI
                      + 2.0 * jnp.sum(jnp.log(jnp.diag(L)))
                      + v @ alpha)
-        K = P_pred @ jax.scipy.linalg.cho_solve((L, True), Z).T
+        K = P_pred @ sol[:, 1:].T
         s_new = s_pred + K @ v
         P_new = P_pred - K @ (Z @ P_pred)
         P_new = 0.5 * (P_new + P_new.T)
