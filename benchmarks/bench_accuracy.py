@@ -34,6 +34,7 @@ TRUE = np.array([1.0, 1.0, 1.0, 2.0, 2.0, 1.0, 3.0, 3.0, 1.0])
 
 def main():
     R = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    n_blocks = 3 if "--blocks3" in sys.argv else 1
     data, X = generate_linear_data(seed=1793)
     ll = make_linear_loglike(X)
 
@@ -41,6 +42,7 @@ def main():
     for r in range(R):
         res = smc(ll, linear_parameters(), data,
                   n_parts=5000, n_phi=120, lam=2.1, alpha=0.9,
+                  n_blocks=n_blocks,
                   resampling_method="systematic", verbose="none", seed=1000 + r)
         mu = res.posterior_mean()
         if np.max(np.abs(mu - TRUE)) > 0.5:
@@ -51,6 +53,7 @@ def main():
     means = np.stack(means)
     print(json.dumps({
         "metric": "linear_model_accuracy",
+        "n_blocks": n_blocks,
         "replications": R,
         "gate_failures": fails,
         "mean_abs_error": round(float(np.abs(means - TRUE).mean()), 4),

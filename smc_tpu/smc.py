@@ -181,6 +181,7 @@ def smc(loglikelihood: Callable,
         mesh=None,
         run_csminwel: bool = False,
         debug_assertion: bool = False,
+        profile_dir: Optional[str] = None,
         # --- accepted for kwarg-surface parity with the reference
         #     (src/smc_main.jl:118-161); see docstring ---
         parallel: Optional[bool] = None,
@@ -218,6 +219,10 @@ def smc(loglikelihood: Callable,
     `filestring_addl` (file-naming conventions the reference's Settings
     layer uses; our savepath is explicit), `intermediate_stage_start`
     (resume stage is read from the checkpoint itself).
+
+    `profile_dir` writes a jax.profiler trace of the whole recursion for
+    TensorBoard/XProf — the upgrade over the reference's wall-clock-only
+    timing (SURVEY.md §5 "Tracing/profiling").
     """
     del parallel, data_vintage, old_vintage, smc_iteration, filestring_addl
     del intermediate_stage_start
@@ -393,6 +398,8 @@ def smc(loglikelihood: Callable,
     diag.vprint(verbose, "low", "SMC recursion starts...")
 
     # ---- recursion (reference src/smc_main.jl:377-508) --------------------
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     phi_n = float(cloud.tempering_schedule[-1]) if continue_intermediate else 0.0
     timer = diag.StageTimer()
     while phi_n < 1.0:
@@ -459,6 +466,10 @@ def smc(loglikelihood: Callable,
             Wm = np.stack(W_cols, axis=1) if W_cols else np.zeros((n_parts, 0))
             smc_io.save_checkpoint(savepath, cloud.stage_index, cloud, wm, Wm,
                                    j, phi_prop, log_mdd, key)
+
+    if profile_dir:
+        cloud.block_until_ready()
+        jax.profiler.stop_trace()
 
     # ---- final artifacts (reference src/smc_main.jl:513-526) --------------
     w_matrix = np.stack(w_cols, axis=1) if store_weight_matrices else None
