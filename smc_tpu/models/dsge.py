@@ -32,6 +32,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from smc_tpu.ops.linalg import gj_solve, small_psd_logdet_solve
+
 _LOG_2PI = 1.8378770664093453
 
 
@@ -128,24 +130,26 @@ def solve_linear_re(A, B, C, D, n_iter: int = 16, tol: float = 1e-8):
 
     def cr_body(_, carry):
         A0, A1, A2, Ah = carry
-        SA0 = mp_solve(A1, A0)
-        SA2 = mp_solve(A1, A2)
+        # one Gauss-Jordan elimination for both right-hand sides
+        SA = gj_solve(A1, jnp.concatenate([A0, A2], axis=-1))
+        n = A0.shape[-1]
+        SA0, SA2 = SA[..., :n], SA[..., n:]
         A2SA0 = A2 @ SA0
         Ah = Ah - A2SA0
         A1n = A1 - A0 @ SA2 - A2SA0
         return -A0 @ SA0, A1n, -A2 @ SA2, Ah
 
     _, _, _, Ah = jax.lax.fori_loop(0, n_iter, cr_body, (A, B, C, B))
-    X = -mp_solve(Ah, A)
+    X = -gj_solve(Ah, A)
     lhs = B + C @ X
-    M = -mp_solve(lhs, D)
+    M = -gj_solve(lhs, D)
 
     resid = A + B @ X + C @ (X @ X)
     scale = jnp.maximum(jnp.max(jnp.abs(A)), 1.0)
     converged = jnp.max(jnp.abs(resid)) < tol * scale
     stable = _spectral_radius_bound(X) < 1.0
     # uniqueness: forward operator F = -(B + C X)^{-1} C must be stable too
-    F = -mp_solve(lhs, C)
+    F = -gj_solve(lhs, C)
     unique = _spectral_radius_bound(F) < 1.0
     finite = jnp.all(jnp.isfinite(X)) & jnp.all(jnp.isfinite(M))
     ok = converged & stable & unique & finite
@@ -192,15 +196,12 @@ def kalman_loglike(T_mat, R_mat, Q, Z, d_obs, H, data, P0=None):
         v = y - y_pred
         F = Z @ P_pred @ Z.T + H
         F = 0.5 * (F + F.T)
-        # f64 cholesky is TPU-supported and gives the logdet; the solves go
-        # through the mixed-precision path (f32 cho_solve + f64 refinement)
-        L = jnp.linalg.cholesky(F)
+        # one batched Gauss-Jordan gives innovation solve, gain solve, and
+        # the log-determinant — no custom calls (ops/linalg.py rationale)
         rhs = jnp.concatenate([v[:, None], Z], axis=1)
-        sol = mp_psd_solve(F, rhs)
+        sol, logdet = small_psd_logdet_solve(F, rhs)
         alpha = sol[:, 0]
-        ll = -0.5 * (y.shape[0] * _LOG_2PI
-                     + 2.0 * jnp.sum(jnp.log(jnp.diag(L)))
-                     + v @ alpha)
+        ll = -0.5 * (y.shape[0] * _LOG_2PI + logdet + v @ alpha)
         K = P_pred @ sol[:, 1:].T
         s_new = s_pred + K @ v
         P_new = P_pred - K @ (Z @ P_pred)

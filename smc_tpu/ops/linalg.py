@@ -1,0 +1,80 @@
+"""Batched small-matrix linear algebra without custom calls.
+
+TPU XLA's LU/Cholesky/TriangularSolve are custom calls that (a) only exist
+in f32 and (b) process batches serially — catastrophic for SMC-over-DSGE,
+where every stage solves ~10^4 particles x (n x n) systems with n <= ~40
+(measured: 18.6 s/stage on the An-Schorfheide superstep at 16k particles).
+
+For small static n, the right TPU formulation is an **unrolled Gauss-Jordan
+elimination with partial pivoting**: n fused steps of batched elementwise
+ops and rank-1 updates, vectorizing perfectly over the particle batch on
+the VPU/MXU, in genuine f64 (emulated elementwise f64 beats serialized f32
+custom calls by orders of magnitude here). Pivot selection and row swaps
+are data-parallel gathers; singular systems yield inf/nan that downstream
+validity checks catch (the framework's -inf totality discipline).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gj_solve(A, B, return_logabsdet: bool = False):
+    """Solve A X = B by Gauss-Jordan with partial pivoting, batched over any
+    leading dims. A: [..., n, n], B: [..., n, m]. n must be static.
+
+    With return_logabsdet=True also returns log|det A| (sum of log|pivots|)
+    — free from the elimination, used for Gaussian likelihoods.
+    """
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    n = A.shape[-1]
+    M = jnp.concatenate([A, B.astype(A.dtype)], axis=-1)  # [..., n, n+m]
+    batch = M.shape[:-2]
+    rows = jnp.arange(n)
+    logabsdet = jnp.zeros(batch, A.dtype)
+
+    for k in range(n):
+        # partial pivot: largest |entry| in column k at/below row k
+        col = jnp.abs(M[..., :, k])
+        col = jnp.where(rows >= k, col, -jnp.inf)
+        p = jnp.argmax(col, axis=-1)                      # [...]
+        # swap rows k <-> p (data-parallel permutation gather)
+        rows_b = jnp.broadcast_to(rows, batch + (n,))
+        p_b = p[..., None]
+        perm = jnp.where(rows_b == k, p_b,
+                         jnp.where(rows_b == p_b, k, rows_b))
+        M = jnp.take_along_axis(M, perm[..., None], axis=-2)
+
+        pivot = M[..., k, k]
+        logabsdet = logabsdet + jnp.log(jnp.abs(pivot))
+        # eliminate column k everywhere except row k (Jordan step), then
+        # normalize row k — two fused batched elementwise updates
+        factor = M[..., :, k] / pivot[..., None]
+        factor = factor.at[..., k].set(0.0)
+        M = M - factor[..., None] * M[..., k:k + 1, :]
+        M = M.at[..., k, :].set(M[..., k, :] / pivot[..., None])
+
+    X = M[..., :, n:]
+    if return_logabsdet:
+        return X, logabsdet
+    return X
+
+
+def gj_inv(A):
+    """Batched inverse via gj_solve against the identity."""
+    n = A.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+    return gj_solve(A, eye)
+
+
+def small_psd_logdet_solve(F, B, jitter: float = 0.0):
+    """(X, logdet) for symmetric positive-definite F: Gauss-Jordan solve and
+    log-determinant in one elimination (for SPD matrices all pivots are
+    positive up to pivoting, so log|det| = logdet). Non-PD inputs surface as
+    nan/inf for the caller's validity masking."""
+    if jitter:
+        n = F.shape[-1]
+        F = F + jitter * jnp.eye(n, dtype=F.dtype)
+    return gj_solve(F, B, return_logabsdet=True)
