@@ -24,7 +24,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-VALID_METHODS = ("systematic", "multinomial", "polyalgo")
+VALID_METHODS = ("systematic", "multinomial", "polyalgo", "stratified",
+                 "metropolis")
 
 
 @partial(jax.jit, static_argnames=("method", "n_parts"))
@@ -45,13 +46,24 @@ def resample(key, weights, method: str = "systematic", n_parts: int | None = Non
     if method not in VALID_METHODS:
         raise ValueError(
             f"Invalid resampler {method!r}. Options are 'systematic', "
-            "'multinomial', or 'polyalgo'")
+            "'multinomial', or 'polyalgo' (plus the extensions 'stratified' "
+            "and 'metropolis')")
     n_out = int(n_parts) if n_parts is not None else weights.shape[0]
+
+    if method == "metropolis":
+        return _metropolis(key, weights, n_out)
+
     w = weights / jnp.sum(weights)
     cw = jnp.cumsum(w)
 
     if method == "systematic":
         u = jax.random.uniform(key, (), dtype=jnp.float64)
+        thresholds = (jnp.arange(n_out, dtype=jnp.float64) + u) / n_out
+        idx = jnp.searchsorted(cw, thresholds, side="right")
+    elif method == "stratified":
+        # one iid uniform per stratum [(i-1)/N, i/N) — between systematic's
+        # single offset and multinomial's full independence
+        u = jax.random.uniform(key, (n_out,), dtype=jnp.float64)
         thresholds = (jnp.arange(n_out, dtype=jnp.float64) + u) / n_out
         idx = jnp.searchsorted(cw, thresholds, side="right")
     else:  # multinomial / polyalgo
@@ -61,3 +73,25 @@ def resample(key, weights, method: str = "systematic", n_parts: int | None = Non
     # cw[-1] can be < 1 by rounding; clamp like the reference's scan that
     # never returns an out-of-range index for u inside [0, 1).
     return jnp.clip(idx, 0, weights.shape[0] - 1)
+
+
+def _metropolis(key, weights, n_out, n_iter: int = 32):
+    """Metropolis resampler (Murray, Lee & Jacob, arXiv:1202.6163; see
+    PAPERS.md): each output slot runs a short Metropolis chain over ancestor
+    indices with acceptance w_k / w_j — no cumulative sum, no sort, just
+    uniform index draws and gathers. O(1/n_iter) bias, fully local in
+    structure: the natural choice when the global prefix-sum of the standard
+    resamplers becomes the bottleneck on a very large sharded cloud."""
+    n = weights.shape[0]
+    kp, ku = jax.random.split(key)
+    props = jax.random.randint(kp, (n_iter, n_out), 0, n)
+    us = jax.random.uniform(ku, (n_iter, n_out), dtype=jnp.float64)
+
+    def body(j, pu):
+        prop, u = pu
+        accept = u * weights[j] < weights[prop]
+        return jnp.where(accept, prop, j), None
+
+    init = jnp.arange(n_out) % n
+    j, _ = jax.lax.scan(body, init, (props, us))
+    return j

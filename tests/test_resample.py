@@ -17,7 +17,8 @@ def _weights(n=1000, seed=0):
     return jnp.asarray(w)
 
 
-@pytest.mark.parametrize("method", ["systematic", "multinomial", "polyalgo"])
+@pytest.mark.parametrize("method", ["systematic", "multinomial", "polyalgo",
+                                    "stratified", "metropolis"])
 def test_unbiased_counts(method):
     """E[#copies of i] = N * w_i for every method."""
     w = _weights(200)
@@ -48,7 +49,7 @@ def test_systematic_counts_within_floor_ceil():
 
 def test_degenerate_weight_selects_single_particle():
     w = jnp.asarray(np.r_[np.zeros(9), 1.0])
-    for method in ("systematic", "multinomial", "polyalgo"):
+    for method in ("systematic", "multinomial", "polyalgo", "stratified"):
         idx = np.asarray(resample(jax.random.PRNGKey(0), w, method=method))
         assert np.all(idx == 9)
 
