@@ -44,7 +44,9 @@ from smc_tpu.ops.correction import compute_ess, incremental_weights
 from smc_tpu.ops.mutation import (mutation, mvnormal_mixture_draw,
     compute_proposal_densities, generate_free_blocks, generate_all_blocks,
     generate_param_blocks)
-from smc_tpu.ops.initialization import initial_draw, initialize_likelihoods
+from smc_tpu.ops.initialization import (initial_draw, initialize_likelihoods,
+    one_draw, draw_likelihood)
+from smc_tpu.distributions import DegenerateMvNormal, get_cov
 from smc_tpu.io import (get_cloud, save_cloud, load_cloud,
     split_cloud_file, join_cloud_file)
 from smc_tpu.settings import (GenericModel, Setting, smc_settings_kwargs,
@@ -67,6 +69,10 @@ __all__ = [
     "mvnormal_mixture_draw",
     "initial_draw",
     "initialize_likelihoods",
+    "one_draw",
+    "draw_likelihood",
+    "DegenerateMvNormal",
+    "get_cov",
     "compute_ess",
     "incremental_weights",
     "weighted_mean",

@@ -134,6 +134,72 @@ class Cloud:
         """cloud.accept <- mean per-particle accept (reference src/particle.jl:461-468)."""
         self.accept_rate = float(jnp.mean(self.accept))
 
+    # ------------------------------------------------- parity setters/getters
+    #
+    # The reference exposes ~15 update_*!/get_* accessors on Cloud
+    # (src/particle.jl:71-190, 226-330, 410-468). Most call sites here touch
+    # the arrays directly; these methods keep the one-for-one surface for
+    # users porting reference scripts. Setters accept both (N, P) and (P, N)
+    # orientations like the reference (src/particle.jl:284-330).
+
+    def get_vals(self, transpose: bool = True):
+        """Parameter draws; transposed to (P, N) by default exactly like the
+        reference's get_vals (src/particle.jl:107-115)."""
+        return self.params.T if transpose else self.params
+
+    def _oriented(self, draws):
+        draws = jnp.asarray(draws, jnp.float64)
+        if draws.shape == (self.n_parts, self.n_para):
+            return draws
+        if draws.shape == (self.n_para, self.n_parts):
+            return draws.T
+        raise ValueError(f"draws shape {draws.shape} matches neither "
+                         f"(N={self.n_parts}, P={self.n_para}) orientation")
+
+    def update_draws(self, draws) -> None:
+        """(src/particle.jl:226-241)"""
+        self.params = self._oriented(draws)
+
+    def update_loglh(self, loglh) -> None:
+        self.loglh = jnp.asarray(loglh, jnp.float64)
+
+    def update_logprior(self, logprior) -> None:
+        self.logprior = jnp.asarray(logprior, jnp.float64)
+
+    def update_old_loglh(self, old_loglh) -> None:
+        self.old_loglh = jnp.asarray(old_loglh, jnp.float64)
+
+    def set_weights(self, weights) -> None:
+        """Assign (not multiply — that's update_weights; reference
+        src/particle.jl:250-274 draws the same distinction)."""
+        self.weights = jnp.asarray(weights, jnp.float64)
+
+    def update_cloud(self, params, loglh, logprior, old_loglh, accept) -> None:
+        """Write back a full mutation result (reference update_cloud!,
+        src/particle.jl:426-437)."""
+        self.params = self._oriented(params)
+        self.loglh = jnp.asarray(loglh, jnp.float64)
+        self.logprior = jnp.asarray(logprior, jnp.float64)
+        self.old_loglh = jnp.asarray(old_loglh, jnp.float64)
+        self.accept = jnp.asarray(accept, jnp.float64)
+
+    def update_mutation(self, i: int, para, loglh, logprior, old_loglh,
+                        accept) -> None:
+        """Write one particle's post-MH state (reference update_mutation!,
+        src/particle.jl:410-418). O(1) functional row updates; the batched
+        kernel never uses this — it exists for parity/tests."""
+        self.params = self.params.at[i].set(para)
+        self.loglh = self.loglh.at[i].set(loglh)
+        self.logprior = self.logprior.at[i].set(logprior)
+        self.old_loglh = self.old_loglh.at[i].set(old_loglh)
+        self.accept = self.accept.at[i].set(accept)
+
+    def update_val(self, i: int, para) -> None:
+        self.params = self.params.at[i].set(para)
+
+    def update_weight(self, i: int, weight) -> None:
+        self.weights = self.weights.at[i].set(weight)
+
     # -------------------------------------------------------------- reindex
 
     def reindexed(self, idx) -> "Cloud":

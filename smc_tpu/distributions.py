@@ -179,6 +179,60 @@ def _root_inverse_gamma_logpdf(nu, tau, x):
     return jnp.where(ok, lp, _NEG_INF)
 
 
+class DegenerateMvNormal:
+    """Multivariate normal that tolerates a rank-deficient covariance —
+    the ModelConstructors.DegenerateMvNormal surface the reference consumes
+    for its mixture-proposal densities (reference src/helpers.jl:103,
+    135-136, 154-155; SURVEY.md §2.9).
+
+    logpdf uses the eigendecomposition pseudo-inverse: directions with
+    (near-)zero eigenvalue contribute neither to the quadratic form nor the
+    log-determinant, and `rank` replaces the dimension in the normalization —
+    matching the Julia implementation's pinv-based density. `rand` draws in
+    the span of the retained eigenvectors only.
+    """
+
+    def __init__(self, mu, sigma, tol: float = 1e-12):
+        self.mu = jnp.asarray(mu, jnp.float64)
+        self.sigma = jnp.asarray(sigma, jnp.float64)
+        lam, U = jnp.linalg.eigh(self.sigma)
+        lam_max = jnp.maximum(jnp.max(lam), 0.0)
+        keep = lam > tol * jnp.maximum(lam_max, 1e-300)
+        safe = jnp.where(keep, lam, 1.0)
+        self._U = U
+        self._sqrt_lam = jnp.where(keep, jnp.sqrt(safe), 0.0)
+        self._inv_lam = jnp.where(keep, 1.0 / safe, 0.0)
+        self.rank = jnp.sum(keep).astype(jnp.float64)
+        self._logdet = jnp.sum(jnp.where(keep, jnp.log(safe), 0.0))
+
+    def logpdf(self, x):
+        diff = jnp.asarray(x, jnp.float64) - self.mu
+        z = diff @ self._U
+        quad = jnp.sum(z * z * self._inv_lam, axis=-1)
+        return -0.5 * (self.rank * _LOG_2PI + self._logdet + quad)
+
+    def rand(self, key, shape=()):
+        eps = jax.random.normal(
+            key, tuple(shape) + self.mu.shape, dtype=jnp.float64)
+        return self.mu + (eps * self._sqrt_lam) @ self._U.T
+
+    # jax.scipy-style alias
+    sample = rand
+
+    def cov(self):
+        """Covariance extractor (reference get_cov, src/helpers.jl:102-103)."""
+        return self.sigma
+
+
+def get_cov(d):
+    """Covariance of a DegenerateMvNormal or anything exposing .cov()/.sigma
+    (reference get_cov, src/helpers.jl:102-103)."""
+    if hasattr(d, "cov"):
+        c = d.cov
+        return c() if callable(c) else c
+    return d.sigma
+
+
 def logpdf_family(code, a, b, x):
     """Total logpdf dispatched on integer family code. All args broadcast.
 

@@ -95,6 +95,14 @@ def initial_draw(key, space, loglike_batched: Callable, n_parts: int,
     return cloud
 
 
+def one_draw(key, space, loglike_batched: Callable, max_rounds: int = 10000):
+    """One valid prior draw: (draw [P], loglh, logprior) — reference one_draw
+    (src/initialization.jl:23-63). A thin N=1 wrapper over the masked-redraw
+    machinery; the batched `initial_draw` is the production path."""
+    cloud = initial_draw(key, space, loglike_batched, 1, max_rounds=max_rounds)
+    return cloud.params[0], cloud.loglh[0], cloud.logprior[0]
+
+
 def initialize_likelihoods(cloud: Cloud, space, loglike_batched: Callable) -> Cloud:
     """Tempered-update setup (reference initialize_likelihoods!,
     src/initialization.jl:153-186): copy loglh -> old_loglh, then re-evaluate

@@ -137,3 +137,49 @@ def test_add_parameters_to_cloud():
     # logprior recomputed under extended prior
     expected_lp = np.asarray(jax.vmap(new_space.log_prior)(out.params))
     np.testing.assert_allclose(np.asarray(out.logprior), expected_lp, rtol=1e-12)
+
+
+def test_parity_setters_and_orientation():
+    """Reference setters accept both (N,P) and (P,N) orientations
+    (src/particle.jl:284-330) and distinguish set vs multiply for weights."""
+    c = _cloud(n=20, p=3)
+    vals = np.random.default_rng(3).normal(size=(20, 3))
+    c.update_draws(vals.T)  # (P, N) orientation
+    np.testing.assert_array_equal(np.asarray(c.params), vals)
+    np.testing.assert_array_equal(np.asarray(c.get_vals()), vals.T)
+    np.testing.assert_array_equal(np.asarray(c.get_vals(transpose=False)), vals)
+
+    c.set_weights(np.full(20, 2.0))
+    c.update_weights(np.full(20, 3.0))  # multiplicative
+    np.testing.assert_allclose(np.asarray(c.weights), np.full(20, 6.0))
+
+    c.update_loglh(np.arange(20.0))
+    c.update_logprior(-np.arange(20.0))
+    c.update_old_loglh(np.ones(20))
+    np.testing.assert_array_equal(np.asarray(c.logpost),
+                                  np.arange(20.0) - np.arange(20.0))
+
+    c.update_mutation(5, np.array([9.0, 9.0, 9.0]), 1.0, 2.0, 3.0, 0.5)
+    np.testing.assert_array_equal(np.asarray(c.params[5]), [9.0, 9.0, 9.0])
+    assert float(c.loglh[5]) == 1.0 and float(c.accept[5]) == 0.5
+
+    c.update_val(2, np.array([7.0, 7.0, 7.0]))
+    c.update_weight(2, 11.0)
+    assert float(c.weights[2]) == 11.0
+
+    c.update_cloud(vals, c.loglh, c.logprior, c.old_loglh, c.accept)
+    np.testing.assert_array_equal(np.asarray(c.params), vals)
+
+    c.update_acceptance_rate()
+    np.testing.assert_allclose(c.accept_rate, float(np.mean(np.asarray(c.accept))))
+
+
+def test_mode_extractors():
+    c = _cloud(n=100, p=2)
+    i_ll = int(np.argmax(np.asarray(c.loglh)))
+    i_lp = int(np.argmax(np.asarray(c.loglh) + np.asarray(c.logprior)))
+    np.testing.assert_array_equal(np.asarray(c.likeliest_particle_value()),
+                                  np.asarray(c.params)[i_ll])
+    np.testing.assert_array_equal(
+        np.asarray(c.highest_posterior_particle_value()),
+        np.asarray(c.params)[i_lp])

@@ -78,3 +78,36 @@ def test_stacked_heterogeneous_columns():
 
 def test_point_family_contributes_zero():
     assert float(dist.Point().logpdf(jnp.asarray(123.0))) == 0.0
+
+
+def test_degenerate_mvnormal_full_rank_matches_scipy():
+    from smc_tpu.distributions import DegenerateMvNormal, get_cov
+    from scipy.stats import multivariate_normal
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(4, 4))
+    sigma = A @ A.T + 0.5 * np.eye(4)
+    mu = rng.normal(size=4)
+    d = DegenerateMvNormal(mu, sigma)
+    x = rng.normal(size=(10, 4))
+    np.testing.assert_allclose(np.asarray(d.logpdf(x)),
+                               multivariate_normal(mu, sigma).logpdf(x),
+                               rtol=1e-10)
+    np.testing.assert_array_equal(np.asarray(get_cov(d)), sigma)
+
+
+def test_degenerate_mvnormal_rank_deficient():
+    """Pseudo-inverse density: zero-eigenvalue directions contribute nothing
+    (reference DegenerateMvNormal semantics, SURVEY.md §2.9)."""
+    from smc_tpu.distributions import DegenerateMvNormal
+    v = np.array([1.0, 1.0]) / np.sqrt(2.0)
+    sigma = np.outer(v, v)  # rank 1
+    d = DegenerateMvNormal(np.zeros(2), sigma)
+    assert float(d.rank) == 1.0
+    # density along the retained direction = 1-D standard normal
+    x = 0.7 * v
+    expected = -0.5 * (np.log(2 * np.pi) + 0.7 ** 2)
+    np.testing.assert_allclose(float(d.logpdf(x)), expected, rtol=1e-10)
+    # draws stay in the span of v
+    draws = np.asarray(d.rand(jax.random.PRNGKey(1), (500,)))
+    ortho = draws @ np.array([1.0, -1.0]) / np.sqrt(2.0)
+    assert np.max(np.abs(ortho)) < 1e-12

@@ -113,3 +113,23 @@ def test_seed_reproducibility(fixture):
     np.testing.assert_array_equal(np.asarray(r1.cloud.params),
                                   np.asarray(r2.cloud.params))
     assert r1.log_mdd == r2.log_mdd
+
+
+def test_one_draw_single_particle():
+    """one_draw parity (reference src/initialization.jl:23-63): one valid
+    prior draw with finite loglh/logprior."""
+    from smc_tpu.ops.initialization import one_draw
+    import jax as _jax
+    space, ll_batched = _linear_setup() if "_linear_setup" in dir() else (None, None)
+    if space is None:
+        from smc_tpu.params import ParamSpace
+        from smc_tpu.models.linear import (linear_parameters,
+                                           make_linear_loglike,
+                                           generate_linear_data)
+        data, X = generate_linear_data(seed=1793)
+        space = ParamSpace(linear_parameters())
+        ll = make_linear_loglike(X)
+        ll_batched = _jax.vmap(lambda th: ll(th, data))
+    draw, loglh, logprior = one_draw(_jax.random.PRNGKey(7), space, ll_batched)
+    assert draw.shape == (space.n_para,)
+    assert np.isfinite(float(loglh)) and np.isfinite(float(logprior))
