@@ -162,3 +162,56 @@ def test_as_prior_sampling_in_bounds():
     assert draws[:, names["sig_R"]].min() > 0.0
     # Gamma(mean 2, std .5) prior on tau
     assert abs(draws[:, names["tau"]].mean() - 2.0) < 0.05
+
+
+def test_chandrasekhar_matches_standard_kalman():
+    """Chandrasekhar recursions (Herbst 2015) must reproduce the standard
+    filter's log-likelihood exactly (same stationary init) — reference fast
+    path examples/dsge_models/small_dsge_model.jl:37-43."""
+    from smc_tpu.models.dsge import kalman_loglike_chandrasekhar
+    from smc_tpu.models.as_dsge import an_schorfheide, generate_as_data
+    from smc_tpu.models.dsge import solve_linear_re
+    from smc_tpu.params import ParamSpace
+
+    model = an_schorfheide()
+    data = jnp.asarray(generate_as_data(T=80))
+    space = ParamSpace(model.parameters)
+    key = jax.random.PRNGKey(7)
+    draws = space.sample_prior(key, 16)
+
+    def both(theta):
+        A, B, C, D = model.system_fn(theta)
+        X, M, ok = solve_linear_re(A, B, C, D)
+        Q = model.shock_cov_fn(theta)
+        d_obs, Z, H = model.measurement_fn(theta)
+        std = kalman_loglike(X, M, Q, Z, d_obs, H, data)
+        ch = kalman_loglike_chandrasekhar(X, M, Q, Z, d_obs, H, data)
+        return jnp.where(ok, std, -jnp.inf), jnp.where(ok, ch, -jnp.inf)
+
+    std, ch = jax.jit(jax.vmap(both))(draws)
+    std, ch = np.asarray(std), np.asarray(ch)
+    finite = np.isfinite(std)
+    assert finite.any()
+    # -inf masks must agree
+    np.testing.assert_array_equal(finite, np.isfinite(ch))
+    np.testing.assert_allclose(ch[finite], std[finite], rtol=0, atol=1e-6)
+
+
+def test_chandrasekhar_matches_standard_kalman_sw():
+    """Same agreement at Smets-Wouters scale (n_s ~ 50, n_obs = 7) where the
+    low-rank covariance recursion actually pays."""
+    from smc_tpu.models.dsge import kalman_loglike_chandrasekhar, solve_linear_re
+    from smc_tpu.models.sw_dsge import smets_wouters, generate_sw_data, TRUE_PARAMS
+
+    model = smets_wouters()
+    data = jnp.asarray(generate_sw_data(T=80))
+    theta = jnp.asarray(TRUE_PARAMS, jnp.float64)
+    A, B, C, D = model.system_fn(theta)
+    X, M, ok = solve_linear_re(A, B, C, D)
+    assert bool(ok)
+    Q = model.shock_cov_fn(theta)
+    d_obs, Z, H = model.measurement_fn(theta)
+    std = float(kalman_loglike(X, M, Q, Z, d_obs, H, data))
+    ch = float(kalman_loglike_chandrasekhar(X, M, Q, Z, d_obs, H, data))
+    assert np.isfinite(std)
+    np.testing.assert_allclose(ch, std, rtol=0, atol=1e-5)
