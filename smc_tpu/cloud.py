@@ -321,38 +321,74 @@ def join_cloud(pieces: List[Cloud]) -> Cloud:
     )
 
 
-def add_parameters_to_cloud(cloud: Cloud, new_space, old_para_inds,
-                            key) -> Cloud:
+def add_parameters_to_cloud(cloud_or_file, new_space, old_para_inds,
+                            key, regime_switching: bool = False) -> Cloud:
     """Model-extension bridge (reference src/particle.jl:705-760): build a
     cloud over an extended parameter vector by keeping the old posterior draws
     for old parameters and drawing the new parameters from their prior.
 
     Valid when (a) the old likelihood doesn't depend on the new parameters and
     (b) priors are independent across old/new blocks (math at reference
-    src/particle.jl:650-703). loglh and weights are preserved; logprior is
-    recomputed under the extended prior; old_loglh is zeroed.
+    src/particle.jl:650-703). loglh, accept and weights are preserved;
+    logprior is recomputed under the extended prior; old_loglh is zeroed and
+    the scalar loop state reset as for a fresh cloud (reference
+    src/particle.jl:760 rebuilds the Cloud with stage 1, c=0, accept=.25).
 
     Args:
-      cloud: cloud from the old estimation (P_old columns).
-      new_space: ParamSpace of the extended model (P_new columns).
+      cloud_or_file: cloud from the old estimation (P_old columns), or a path
+        to a saved cloud file (reference's String overload,
+        src/particle.jl:705-710).
+      new_space: ParamSpace of the extended model (P_new flat columns). For
+        regime-switching models pass a ParamSpace built with
+        regime_switching=True — regimes are flat columns here, exactly the
+        layout the reference's `regime_switching` kwarg selects via
+        n_parameters_regime_switching (src/particle.jl:717).
       old_para_inds: boolean or integer index array marking which of the new
-        space's columns correspond to the old parameters, in old column order.
+        space's FLAT columns correspond to the old parameters, in old column
+        order (reference semantics: get_values(old_para) ==
+        get_values(para)[old_para_inds]).
       key: PRNG key for the prior draws of the new parameters.
+      regime_switching: parity kwarg; must agree with how new_space was
+        built. The flat-column layout makes it informational only.
     """
+    if isinstance(cloud_or_file, (str, bytes)):
+        from smc_tpu import io as smc_io
+        cloud = smc_io.get_cloud(cloud_or_file)
+    else:
+        cloud = cloud_or_file
+    expected = new_space.n_para
+    if regime_switching and expected != new_space.n_para:
+        raise ValueError("regime_switching disagrees with new_space layout")
     old_para_inds = np.asarray(old_para_inds)
     if old_para_inds.dtype == bool:
+        if old_para_inds.shape[0] != expected:
+            raise ValueError(
+                f"old_para_inds has {old_para_inds.shape[0]} entries but the "
+                f"new space has {expected} flat columns")
         old_cols = np.nonzero(old_para_inds)[0]
     else:
         old_cols = old_para_inds
+    if len(old_cols) != cloud.params.shape[1]:
+        raise ValueError(
+            f"old_para_inds marks {len(old_cols)} columns but the old cloud "
+            f"has {cloud.params.shape[1]} parameters")
     n = cloud.n_parts
 
     draws = new_space.sample_prior(key, n)  # [N, P_new]
     draws = draws.at[:, old_cols].set(cloud.params)
-    logprior = jax.vmap(new_space.log_prior)(draws)
+    logprior = new_space.log_prior(draws)
 
-    return dataclasses.replace(
+    out = dataclasses.replace(
         cloud,
         params=draws,
         logprior=logprior,
         old_loglh=jnp.zeros_like(cloud.old_loglh),
+        tempering_schedule=[0.0],
+        ESS=list(cloud.ESS),
     )
+    out.stage_index = 1
+    out.resamples = 0
+    out.c = 0.0
+    out.accept_rate = 0.25
+    out.total_sampling_time = 0.0
+    return out

@@ -227,7 +227,12 @@ def kalman_loglike_chandrasekhar(T_mat, R_mat, Q, Z, d_obs, H, data, P0=None):
         F_{t+1} = F_t + Z W_t M_t W_t' Z'
         K_{t+1} = K_t + T W_t M_t W_t' Z'
         W_{t+1} = (T - K_t F_t^{-1} Z) W_t
-        M_{t+1} = M_t + M_t W_t' Z' F_t^{-1} Z W_t M_t
+        M_{t+1} = M_t - M_t W_t' Z' F_{t+1}^{-1} Z W_t M_t
+
+    (the Morf-Sidhu-Kailath form: note the minus sign and that the M-update
+    uses the *updated* innovation covariance F_{t+1} — verified to machine
+    precision against the exact Riccati iteration; the t-indexed plus-sign
+    variant drifts from the true covariance increment immediately).
 
     initialized from the stationary covariance P1 = Lyapunov(T, RQR'):
     K_1 = T P1 Z', F_1 = Z P1 Z' + H, W_1 = K_1, M_1 = -F_1^{-1} (so that
@@ -251,9 +256,10 @@ def kalman_loglike_chandrasekhar(T_mat, R_mat, Q, Z, d_obs, H, data, P0=None):
     s0 = jnp.zeros(n_s)
 
     ys = data.T  # [T, n_obs]
+    tr_F1 = jnp.trace(F1)
 
     def step(carry, y):
-        s, K, F, W, M = carry
+        s, K, F, W, M, bad = carry
         v = y - d_obs - Z @ s
         # one elimination gives F^{-1}v, F^{-1}(ZW), and log|F|
         rhs = jnp.concatenate([v[:, None], Z @ W], axis=1)
@@ -263,19 +269,33 @@ def kalman_loglike_chandrasekhar(T_mat, R_mat, Q, Z, d_obs, H, data, P0=None):
         ll = -0.5 * (n_o * _LOG_2PI + logdet + v @ Finv_v)
         s_new = T_mat @ s + K @ Finv_v
 
-        MWtZt = M @ (Z @ W).T                    # [n_o, n_o] @ -> [n_o, n_o]
-        WMWtZt = W @ MWtZt                       # [n_s, n_o]
+        ZW = Z @ W                               # [n_o, n_o]
+        MWtZt = M @ ZW.T                         # M W'Z'    [n_o, n_o]
+        WMWtZt = W @ MWtZt                       # W M W'Z'  [n_s, n_o]
         F_new = F + Z @ WMWtZt
         F_new = 0.5 * (F_new + F_new.T)
         K_new = K + T_mat @ WMWtZt
         W_new = T_mat @ W - K @ Finv_ZW
-        M_new = M + MWtZt.T @ Finv_ZW @ M
+        # M-update needs F_{t+1}^{-1}: one more small PSD solve (n_o x n_o)
+        Fnew_inv_ZW, _ = small_psd_logdet_solve(F_new, ZW)
+        M_new = M - MWtZt @ Fnew_inv_ZW @ M
         M_new = 0.5 * (M_new + M_new.T)
-        return (s_new, K_new, F_new, W_new, M_new), ll
+        # Divergence guard: in exact arithmetic M_t is negative semidefinite,
+        # so F_t is monotone non-increasing in trace (F_{t+1} = F_t + ZWMW'Z'
+        # with M <= 0) and stays PSD. Unlike the Riccati iteration the
+        # Chandrasekhar recursion is NOT self-correcting: on numerically
+        # extreme prior-tail draws roundoff flips M's definiteness and the
+        # filter silently returns garbage. Trace growth is a cheap exact
+        # witness of that event; flagged draws yield -inf, mirroring the
+        # reference's PosDefException -> -Inf discipline
+        # (src/initialization.jl:46-54, src/mutation.jl:112-121).
+        bad = bad | (jnp.trace(F_new) > tr_F1 * (1.0 + 1e-6) + 1e-12)
+        return (s_new, K_new, F_new, W_new, M_new, bad), ll
 
-    (_, _, _, _, _), lls = jax.lax.scan(step, (s0, K1, F1, K1, M1), ys)
+    carry0 = (s0, K1, F1, K1, M1, jnp.bool_(False))
+    (_, _, _, _, _, bad), lls = jax.lax.scan(step, carry0, ys)
     total = jnp.sum(lls)
-    return jnp.where(jnp.isfinite(total), total, -jnp.inf)
+    return jnp.where(jnp.isfinite(total) & ~bad, total, -jnp.inf)
 
 
 # ---------------------------------------------------------------------------

@@ -138,6 +138,87 @@ def generate_rs_linear_data(seed: int = 1793, T_per_regime: int = 100
     return data, Xrs
 
 
+def load_reference_data(path: str = "/root/reference/test/reference/test_data.h5"
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Load the reference's own shipped test data (test/reference/
+    test_data.h5, generated under Julia Random.seed!(1793) —
+    test/modelsetup.jl:71-115). h5py reads the Julia (3, 100) matrices
+    transposed, so transpose back. Returns (data [3, T], X [3, T])."""
+    import h5py
+    with h5py.File(path, "r") as f:
+        data = f["data"][()].T
+        X = f["X"][()].T
+    return np.ascontiguousarray(data), np.ascontiguousarray(X)
+
+
+def exact_linear_posterior(data: np.ndarray, X: np.ndarray,
+                           prior_scale: float = 1000.0,
+                           n_grid: int = 4000):
+    """EXACT posterior moments and log evidence for the linear fixture.
+
+    The three equations are independent, and per equation the model is
+    y = alpha + beta x + eps, eps ~ N(0, sigma^2), alpha/beta ~ N(0, s0^2),
+    sigma ~ U(0, s0). Conditional on sigma the coefficient posterior is
+    Gaussian in closed form; the 1-D sigma marginal is integrated by
+    quadrature. This is the cross-framework ground truth the SMC estimates
+    (posterior mean AND log-MDD) must match within MC error — the exact
+    version of the reference's mean-within-0.5 gate (test/smc.jl:53-57).
+
+    Returns dict(mean [9], sd [9], log_evidence float).
+    """
+    n_eq, T = data.shape
+    s0sq = prior_scale ** 2
+    # integrate sigma on a log-spaced grid (posterior concentrates near the
+    # residual scale, but keep full U(0, prior_scale) support)
+    sig = np.exp(np.linspace(np.log(1e-3), np.log(prior_scale), n_grid))
+    log_prior_sig = -np.log(prior_scale)  # uniform density
+    means, sds, log_evs = [], [], []
+    for i in range(n_eq):
+        y = data[i]
+        Xd = np.column_stack([np.ones(T), X[i]])          # [T, 2]
+        XtX = Xd.T @ Xd
+        Xty = Xd.T @ y
+        yty = y @ y
+        # log m(sigma) = log N(y; 0, sigma^2 I + s0^2 Xd Xd')
+        # via the 2x2 Woodbury identities
+        lm = np.empty(n_grid)
+        cond_mean = np.empty((n_grid, 2))
+        cond_cov = np.empty((n_grid, 2, 2))
+        for g, s in enumerate(sig):
+            s2 = s * s
+            prec = np.eye(2) / s0sq + XtX / s2
+            cov = np.linalg.inv(prec)
+            mu = cov @ (Xty / s2)
+            sign, logdet_prec = np.linalg.slogdet(prec)
+            # log evidence given sigma (completing the square)
+            lm[g] = (-0.5 * T * (np.log(2 * np.pi) + np.log(s2))
+                     - 0.5 * (2 * np.log(s0sq) + logdet_prec)
+                     - 0.5 * (yty / s2 - mu @ prec @ mu))
+            cond_mean[g] = mu
+            cond_cov[g] = cov
+        # posterior over sigma on the grid (trapezoid in sigma)
+        lw = lm + log_prior_sig
+        lw_max = lw.max()
+        w = np.exp(lw - lw_max)
+        Z = np.trapezoid(w, sig)
+        log_ev = lw_max + np.log(Z)
+        p_sig = w / Z
+        mean_ab = np.trapezoid(p_sig[:, None] * cond_mean, sig, axis=0)
+        mean_sig = np.trapezoid(p_sig * sig, sig)
+        # E[theta theta'] = E[cov + mu mu'] for the coefficient block
+        second_ab = np.trapezoid(
+            p_sig[:, None, None]
+            * (cond_cov + cond_mean[:, :, None] * cond_mean[:, None, :]),
+            sig, axis=0)
+        var_ab = np.diag(second_ab) - mean_ab ** 2
+        var_sig = np.trapezoid(p_sig * sig * sig, sig) - mean_sig ** 2
+        means.extend([mean_ab[0], mean_ab[1], mean_sig])
+        sds.extend([np.sqrt(var_ab[0]), np.sqrt(var_ab[1]), np.sqrt(var_sig)])
+        log_evs.append(log_ev)
+    return {"mean": np.array(means), "sd": np.array(sds),
+            "log_evidence": float(np.sum(log_evs))}
+
+
 def make_rs_linear_loglike(Xrs: np.ndarray, space, T_per_regime: int = 100):
     """Regime-switching Gaussian log-likelihood (test/modelsetup.jl:140-169).
 

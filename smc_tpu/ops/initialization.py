@@ -23,15 +23,17 @@ import jax
 import jax.numpy as jnp
 
 from smc_tpu.cloud import Cloud
+from smc_tpu.utils.misc import scrub_loglh
 
 
 def _eval_batch(space, loglike_batched, draws):
-    """Batched (loglh, logprior) with the reference's scrubbing: nan/-inf
-    loglh forces both to -inf (src/initialization.jl:43-44)."""
+    """Batched (loglh, logprior) with the reference's scrubbing: ANY
+    non-finite loglh (nan, +inf, -inf) or logprior forces both to -inf
+    (src/initialization.jl:43-54; the +inf channel has no Julia analogue
+    because Julia throws there — see utils.misc.scrub_loglh)."""
     logprior = space.log_prior(draws)
     loglh = loglike_batched(draws)
-    loglh = jnp.where(jnp.isnan(loglh), -jnp.inf, loglh)
-    bad = jnp.isneginf(loglh) | ~jnp.isfinite(logprior)
+    bad = ~jnp.isfinite(loglh) | ~jnp.isfinite(logprior)
     loglh = jnp.where(bad, -jnp.inf, loglh)
     logprior = jnp.where(bad, -jnp.inf, logprior)
     return loglh, logprior
@@ -113,8 +115,8 @@ def initialize_likelihoods(cloud: Cloud, space, loglike_batched: Callable) -> Cl
     @jax.jit
     def reval(params):
         logprior = space.log_prior(params)
-        loglh = loglike_batched(params)
-        return jnp.where(jnp.isnan(loglh), -jnp.inf, loglh), logprior
+        loglh = scrub_loglh(loglike_batched(params))
+        return loglh, logprior
 
     cloud.old_loglh = cloud.loglh
     cloud.loglh, cloud.logprior = reval(cloud.params)
@@ -125,5 +127,5 @@ def draw_likelihood(space, loglike_batched: Callable, draws):
     """(loglh, logprior) at given draws [N, P] (reference draw_likelihood,
     src/initialization.jl:129-139), without the invalid-scrub coupling."""
     logprior = space.log_prior(draws)
-    loglh = loglike_batched(draws)
-    return jnp.where(jnp.isnan(loglh), -jnp.inf, loglh), logprior
+    loglh = scrub_loglh(loglike_batched(draws))
+    return loglh, logprior

@@ -49,6 +49,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from smc_tpu.utils.misc import scrub_loglh
+
 _LOG_2PI = 1.8378770664093453
 
 
@@ -201,13 +203,13 @@ def make_mutation_step(
                 params_new = params.at[:, idx_full].set(prop)
                 prior_new = space.log_prior(params_new)
                 like_new = loglike_batched(params_new)
-                like_new = jnp.where(jnp.isnan(like_new), -jnp.inf, like_new)
+                # ANY non-finite loglh (nan OR +inf) -> -inf: a +inf would be
+                # accepted w.p. 1 and blow up the next correction step
+                like_new = scrub_loglh(like_new)
                 # like_new == -inf forces prior_new = -inf (src/mutation.jl:102-104)
                 prior_new = jnp.where(jnp.isneginf(like_new), -jnp.inf, prior_new)
                 if bridging:
-                    like_old_new = old_loglike_batched(params_new)
-                    like_old_new = jnp.where(jnp.isnan(like_old_new), -jnp.inf,
-                                             like_old_new)
+                    like_old_new = scrub_loglh(old_loglike_batched(params_new))
                 else:
                     like_old_new = jnp.zeros(n_parts, jnp.float64)
 

@@ -19,3 +19,14 @@ def real_sort_key(x):
     """Comparison key for possibly-complex arrays: the real part (reference
     src/util.jl:187-231 semantics)."""
     return jnp.real(x)
+
+
+def scrub_loglh(loglh):
+    """Map ANY non-finite log-likelihood (nan, +inf, -inf stays) to -inf.
+
+    The reference's try/catch->-Inf discipline (src/initialization.jl:46-54,
+    src/mutation.jl:112-121) has no +inf channel only because Julia throws
+    there; a user likelihood that returns +inf in JAX would otherwise be
+    accepted with probability 1 in mutation and detonate the next correction
+    step (exp(dphi * +inf) -> inf weights -> NaN ESS)."""
+    return jnp.where(jnp.isfinite(loglh), loglh, -jnp.inf)

@@ -37,8 +37,12 @@ def test_solution_at_mode():
     # exogenous AR structure survives on the diagonal
     assert abs(Xn[idx["a"], idx["a"]] - 0.95) < 1e-8    # crhoa
     assert abs(Xn[idx["g"], idx["g"]] - 0.97) < 1e-8    # crhog
-    # lag bookkeeping: ylag_t = y_{t-1} means row ylag of X = row of identity
-    assert abs(Xn[idx["ylag"], idx["y"]] - 0.0) < 1e-8 or True
+    # lag bookkeeping: ylag_t = y_{t-1}, so row ylag of X selects column y
+    # with coefficient 1 and nothing else
+    ylag_row = Xn[idx["ylag"]]
+    assert abs(ylag_row[idx["y"]] - 1.0) < 1e-8
+    assert np.sum(np.abs(ylag_row)) - 1.0 < 1e-8
+    assert abs(Xn[idx["clag"], idx["c"]] - 1.0) < 1e-8
     assert np.max(np.abs(np.linalg.eigvals(Xn))) < 1.0
 
 
