@@ -1,20 +1,24 @@
-"""Benchmark: particles-mutated/s/chip on the SMC stage superstep.
+"""Benchmark: particles-mutated/s/chip on the FUSED SMC recursion.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Baseline (BASELINE.md): the reference's linear-model test — 9 params, 400
 particles, n_phi=120, 1 MH step — takes ~3 minutes on a 2-core CI runner
 (reference test/smc.jl:24), i.e. 400*119/180s ~= 264 particle-mutations/s.
-Our metric is the same unit measured on the jitted stage superstep
-(correction + selection + weighted moments + blocked-RWMH mutation with the
-batched likelihood) at production particle count, post-compile.
 
-The whole benchmark is exactly TWO XLA programs (one init, one superstep) —
-compiles on this machine go through a remote service, so program count is
-kept minimal.
+Round-2 methodology change: round 1 timed the per-stage superstep driven
+from a host loop, which at 24.6 ms/stage was dominated by per-stage
+dispatches + blocking scalar fetches over the remote-TPU tunnel, not
+compute. The production path is now the fused recursion (the entire
+tempering loop inside ONE XLA while_loop — smc_tpu.smc.make_fused_recursion),
+so the benchmark times a COMPLETE estimation end-to-end: linear fixture,
+n_phi=120 fixed schedule, 32768 particles (primary metric), plus the
+An-Schorfheide DSGE (RE-solve by cyclic reduction + Kalman scan per
+mutation proposal) at 16384 particles as extra fields.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -33,76 +37,100 @@ except Exception:
 
 BASELINE_MUTATIONS_PER_S = 400 * 119 / 180.0  # reference CI wall-clock
 N_PARTS = 32768
-N_STAGES = 30
+N_PHI = 120
+AS_N_PARTS = 16384
+AS_N_PHI = 100
+
+
+def time_fused_estimation(space, loglike_batched, n_parts, n_phi, lam,
+                          n_blocks, alpha, seed):
+    """Run a complete fused estimation twice (compile+run, then timed run).
+    Returns (n_stages, wall_s, compile_plus_run_s, log_mdd)."""
+    from smc_tpu.smc import make_fused_recursion
+    from smc_tpu.ops.schedule import fixed_schedule
+    from smc_tpu.ops.initialization import initial_draw
+
+    sched = fixed_schedule(n_phi, lam)
+    fused = make_fused_recursion(
+        space, loglike_batched, n_blocks, 1, alpha, "systematic",
+        0.5 * n_parts, n_phi, sched, True, 0.97, 0.25,
+        store_weight_matrices=False)
+
+    key = jax.random.PRNGKey(seed)
+    key, k0 = jax.random.split(key)
+    cloud = initial_draw(k0, space, loglike_batched, n_parts)
+    jax.block_until_ready(cloud.params)
+
+    def run(k):
+        st = fused(k, cloud.params, cloud.loglh, cloud.logprior,
+                   cloud.old_loglh, cloud.weights,
+                   0.5, 0.25, 0.0, float(n_parts), 1, 0.0, False)
+        jax.block_until_ready(st["params"])
+        return st
+
+    t0 = time.perf_counter()
+    st = run(key)
+    t_first = time.perf_counter() - t0
+
+    key2 = jax.random.PRNGKey(seed + 1)
+    t0 = time.perf_counter()
+    st = run(key2)
+    dt = time.perf_counter() - t0
+    return int(st["s"]), dt, t_first, float(st["log_mdd"])
 
 
 def main():
     from smc_tpu.params import ParamSpace
     from smc_tpu.models.linear import (linear_parameters, make_linear_loglike,
                                        generate_linear_data)
-    from smc_tpu.smc import make_superstep
 
     data, X = generate_linear_data(seed=1793)
     space = ParamSpace(linear_parameters())
     ll = make_linear_loglike(X)
-    loglike_batched = jax.vmap(lambda th: ll(th, data))
+    llb = jax.vmap(lambda th: ll(th, data))
 
-    superstep = make_superstep(
-        space, loglike_batched, n_blocks=3, n_mh_steps=1, alpha=0.9,
-        resampling_method="systematic", threshold=0.5 * N_PARTS)
-
-    @jax.jit
-    def init(key):
-        draws = space.sample_prior(key, N_PARTS)
-        loglh = loglike_batched(draws)
-        loglh = jnp.where(jnp.isnan(loglh), -jnp.inf, loglh)
-        logprior = space.log_prior(draws)
-        return draws, loglh, logprior
-
-    key = jax.random.PRNGKey(0)
-    key, k0 = jax.random.split(key)
-    t0 = time.perf_counter()
-    params, loglh, logprior = init(k0)
-    jax.block_until_ready(params)
-    t_init = time.perf_counter() - t0
-
-    old_loglh = jnp.zeros(N_PARTS, jnp.float64)
-    weights = jnp.ones(N_PARTS, jnp.float64)
-
-    # Warm up / compile the superstep.
-    t0 = time.perf_counter()
-    out = superstep(key, params, loglh, logprior, old_loglh, weights,
-                    jnp.float64(0.05), jnp.float64(0.0), jnp.float64(0.5))
-    jax.block_until_ready(out[0])
-    t_compile = time.perf_counter() - t0
-
-    # Timed: chain real stages (state feeds forward, fresh key each stage).
-    state = (params, loglh, logprior, old_loglh, weights)
-    t0 = time.perf_counter()
-    for s in range(N_STAGES):
-        key, sk = jax.random.split(key)
-        pn = 0.05 + 0.9 * (s + 1) / N_STAGES
-        pn1 = 0.05 + 0.9 * s / N_STAGES
-        out = superstep(sk, *state, jnp.float64(pn), jnp.float64(pn1),
-                        jnp.float64(0.5))
-        state = out[:5]
-    jax.block_until_ready(state[0])
-    dt = time.perf_counter() - t0
-
-    mutations_per_s = N_PARTS * N_STAGES / dt
+    n_stages, dt, t_first, mdd = time_fused_estimation(
+        space, llb, N_PARTS, N_PHI, 2.1, 3, 0.9, seed=0)
+    mutations_per_s = N_PARTS * n_stages / dt
     n_chips = max(len(jax.devices()), 1)
     value = mutations_per_s / n_chips
+
+    extras = {}
+    try:
+        from smc_tpu.models.as_dsge import (an_schorfheide,
+                                            an_schorfheide_parameters,
+                                            generate_as_data)
+        model = an_schorfheide()
+        as_data = generate_as_data(T=80, seed=1793)
+        as_space = ParamSpace(an_schorfheide_parameters())
+        as_llb = jax.vmap(lambda th: model.loglike(th, as_data))
+        as_stages, as_dt, as_first, as_mdd = time_fused_estimation(
+            as_space, as_llb, AS_N_PARTS, AS_N_PHI, 2.0, 1, 0.9, seed=0)
+        extras = {
+            "as_mutations_per_s_per_chip": round(
+                AS_N_PARTS * as_stages / as_dt / n_chips, 1),
+            "as_full_estimation_s": round(as_dt, 2),
+            "as_n_parts": AS_N_PARTS,
+            "as_n_stages": as_stages,
+            "as_log_mdd": round(as_mdd, 2),
+        }
+        print(f"# AS: {as_stages} stages in {as_dt:.2f}s "
+              f"({as_dt/as_stages*1e3:.1f} ms/stage), first(run+compile)="
+              f"{as_first:.1f}s", file=sys.stderr)
+    except Exception as e:  # never let the extra workload kill the metric
+        print(f"# AS bench failed: {e!r}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "particles_mutated_per_s_per_chip",
         "value": round(value, 1),
         "unit": "particle-mutations/s/chip",
         "vs_baseline": round(value / BASELINE_MUTATIONS_PER_S, 2),
+        **extras,
     }))
-    # Context lines on stderr so the JSON line stays clean.
-    import sys
-    print(f"# n_parts={N_PARTS} stages={N_STAGES} stage_time={dt/N_STAGES*1e3:.1f}ms "
-          f"init={t_init:.1f}s compile={t_compile:.1f}s device={jax.devices()[0]}",
-          file=sys.stderr)
+    print(f"# linear: n_parts={N_PARTS} stages={n_stages} "
+          f"stage_time={dt/n_stages*1e3:.2f}ms total={dt:.2f}s "
+          f"first(run+compile)={t_first:.1f}s log_mdd={mdd:.2f} "
+          f"device={jax.devices()[0]}", file=sys.stderr)
 
 
 if __name__ == "__main__":

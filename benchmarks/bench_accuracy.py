@@ -33,15 +33,19 @@ TRUE = np.array([1.0, 1.0, 1.0, 2.0, 2.0, 1.0, 3.0, 3.0, 1.0])
 
 
 def main():
+    from smc_tpu.models.linear import exact_linear_posterior
+
     R = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     n_blocks = 3 if "--blocks3" in sys.argv else 1
+    n_phi = 300 if "--phi300" in sys.argv else 120
     data, X = generate_linear_data(seed=1793)
     ll = make_linear_loglike(X)
+    oracle = exact_linear_posterior(data, X)
 
     means, mdds, fails = [], [], 0
     for r in range(R):
         res = smc(ll, linear_parameters(), data,
-                  n_parts=5000, n_phi=120, lam=2.1, alpha=0.9,
+                  n_parts=5000, n_phi=n_phi, lam=2.1, alpha=0.9,
                   n_blocks=n_blocks,
                   resampling_method="systematic", verbose="none", seed=1000 + r)
         mu = res.posterior_mean()
@@ -54,12 +58,16 @@ def main():
     print(json.dumps({
         "metric": "linear_model_accuracy",
         "n_blocks": n_blocks,
+        "n_phi": n_phi,
         "replications": R,
         "gate_failures": fails,
         "mean_abs_error": round(float(np.abs(means - TRUE).mean()), 4),
+        "max_err_vs_exact_posterior": round(
+            float(np.abs(means - oracle["mean"]).max()), 4),
         "across_rep_std_of_means": round(float(means.std(0).mean()), 4),
         "log_mdd_mean": round(float(np.mean(mdds)), 2),
         "log_mdd_std": round(float(np.std(mdds)), 2),
+        "log_mdd_exact": round(oracle["log_evidence"], 2),
     }))
 
 
