@@ -30,10 +30,12 @@ def main():
     model = an_schorfheide()
     data = generate_as_data(T=80, seed=1793)
 
+    kw = dict(n_parts=400, n_phi=100, lam=2.0,
+              resampling_method="systematic", verbose="low", seed=42)
+    if _os.environ.get("SMC_TPU_SMOKE"):  # CI smoke: tiny but same code path
+        kw.update(n_parts=64, n_phi=10, verbose="none")
     result = smc_tpu.smc(model.loglike, an_schorfheide_parameters(), data,
-                         n_parts=400, n_phi=100, lam=2.0,
-                         resampling_method="systematic",
-                         verbose="low", seed=42)
+                         **kw)
 
     mu, sd = result.posterior_mean(), result.posterior_std()
     print(f"\n{'param':>8s} {'true':>7s} {'mean':>8s} {'std':>8s}")

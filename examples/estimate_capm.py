@@ -26,9 +26,10 @@ def main():
 
     # All-default settings, as the reference example runs it
     # (estimate_capm.jl:74) — shrunk particle count for a quick demo.
-    result = smc_tpu.smc(loglike, capm_parameters(), lik_data,
-                         n_parts=1000, n_phi=100, lam=2.0,
-                         verbose="low", seed=0)
+    kw = dict(n_parts=1000, n_phi=100, lam=2.0, verbose="low", seed=0)
+    if _os.environ.get("SMC_TPU_SMOKE"):  # CI smoke: tiny but same code path
+        kw.update(n_parts=64, n_phi=10, verbose="none")
+    result = smc_tpu.smc(loglike, capm_parameters(), lik_data, **kw)
 
     true = np.array([0.1, 0.8, 0.5, 0.2, 1.0, 0.5, 0.3, 1.2, 0.5])
     mu, sd = result.posterior_mean(), result.posterior_std()

@@ -25,8 +25,10 @@ def main():
     y, x = generate_regression_data(n=100, seed=1793)
     loglike = make_regression_loglike(x)
 
-    result = smc_tpu.smc(loglike, regression_parameters(), y,
-                         n_parts=100, verbose="low", seed=0)
+    kw = dict(n_parts=100, verbose="low", seed=0)
+    if _os.environ.get("SMC_TPU_SMOKE"):  # CI smoke: tiny but same code path
+        kw.update(n_parts=64, n_phi=10, verbose="none")
+    result = smc_tpu.smc(loglike, regression_parameters(), y, **kw)
 
     mu, sd = result.posterior_mean(), result.posterior_std()
     print(f"\nalpha: mean={mu[0]:.3f} std={sd[0]:.3f} (true 1.0)")

@@ -27,11 +27,11 @@ def main():
     model = smets_wouters()
     data = generate_sw_data(T=156, seed=1793)
 
-    result = smc_tpu.smc(model.loglike, sw_parameters(), data,
-                         n_parts=1000, n_phi=100, lam=2.1,
-                         n_blocks=3, alpha=0.9,
-                         resampling_method="multinomial",
-                         verbose="low", seed=42)
+    kw = dict(n_parts=1000, n_phi=100, lam=2.1, n_blocks=3, alpha=0.9,
+              resampling_method="multinomial", verbose="low", seed=42)
+    if _os.environ.get("SMC_TPU_SMOKE"):  # CI smoke: tiny but same code path
+        kw.update(n_parts=64, n_phi=8, verbose="none")
+    result = smc_tpu.smc(model.loglike, sw_parameters(), data, **kw)
 
     mu, sd = result.posterior_mean(), result.posterior_std()
     print(f"\n{'param':>11s} {'mode':>7s} {'mean':>8s} {'std':>7s}")

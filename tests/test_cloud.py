@@ -2,6 +2,7 @@
 add_parameters_to_cloud (reference test/particle.jl, test/add_parameters_to_cloud.jl)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -137,6 +138,61 @@ def test_add_parameters_to_cloud():
     # logprior recomputed under extended prior
     expected_lp = np.asarray(jax.vmap(new_space.log_prior)(out.params))
     np.testing.assert_allclose(np.asarray(out.logprior), expected_lp, rtol=1e-12)
+
+
+def test_add_parameters_to_cloud_from_file(tmp_path):
+    """The reference's String overload (src/particle.jl:705-710): load the
+    old cloud from a saved file."""
+    from smc_tpu import io as smc_io
+    old_space = ParamSpace([
+        parameter("a", 0.0, (-10, 10), prior=Normal(0, 1)),
+        parameter("b", 0.0, (-10, 10), prior=Normal(0, 2)),
+    ])
+    new_space = ParamSpace([
+        parameter("a", 0.0, (-10, 10), prior=Normal(0, 1)),
+        parameter("b", 0.0, (-10, 10), prior=Normal(0, 2)),
+        parameter("cnew", 0.5, (0, 1), prior=Uniform(0, 1)),
+    ])
+    c = _cloud(n=100, p=2)
+    path = str(tmp_path / "old_cloud.npz")
+    smc_io.save_cloud(path, c)
+    # boolean-mask form of old_para_inds (the reference's BitVector)
+    mask = np.array([True, True, False])
+    out = add_parameters_to_cloud(path, new_space, mask,
+                                  jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(out.params)[:, :2],
+                               np.asarray(c.params))
+    assert out.stage_index == 1 and out.resamples == 0
+    assert out.accept_rate == 0.25
+    # mismatched mask length raises
+    with pytest.raises(ValueError):
+        add_parameters_to_cloud(c, new_space, np.array([True, False]),
+                                jax.random.PRNGKey(1))
+
+
+def test_add_parameters_to_cloud_regime_switching():
+    """Regime-switching extension: the new space's regimes are flat columns
+    (reference regime_switching kwarg -> n_parameters_regime_switching,
+    src/particle.jl:717). Old flat columns preserved, new base+regime
+    columns drawn from the prior."""
+    from smc_tpu.models.linear import rs_linear_parameters
+    new_space = ParamSpace(rs_linear_parameters(), regime_switching=True)
+    p_new = new_space.n_para
+    assert p_new > 9  # regimes flattened into extra columns
+
+    # old estimation had only the 9 base columns; sigma columns (2,5,8)
+    # must be valid under the U(0,10) prior and (1e-5,1e5) bounds
+    old_cols = np.arange(9)
+    c = _cloud(n=50, p=9)
+    sig = jnp.abs(c.params[:, 2::3]) + 0.1
+    c.params = c.params.at[:, 2::3].set(jnp.clip(sig, 0.1, 9.0))
+    out = add_parameters_to_cloud(c, new_space, old_cols,
+                                  jax.random.PRNGKey(2),
+                                  regime_switching=True)
+    assert np.asarray(out.params).shape == (50, p_new)
+    np.testing.assert_allclose(np.asarray(out.params)[:, :9],
+                               np.asarray(c.params))
+    assert np.all(np.isfinite(np.asarray(out.logprior)))
 
 
 def test_parity_setters_and_orientation():

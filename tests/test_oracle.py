@@ -86,6 +86,33 @@ def test_log_mdd_matches_analytic(oracle, runs):
     assert abs(mdds.mean() - log_z) < 0.1, (mdds.mean(), log_z)
 
 
+def test_estimation_on_reference_shipped_data():
+    """Cross-framework parity on IDENTICAL data: estimate the linear fixture
+    on the reference's own shipped test/reference/test_data.h5 (the data its
+    CI gate uses, test/smc.jl:20) and gate against the exact posterior for
+    that data. This is the parity check golden files can't provide across
+    RNGs (SURVEY.md §4)."""
+    h5py = pytest.importorskip("h5py")
+    import os
+    path = "/root/reference/test/reference/test_data.h5"
+    if not os.path.exists(path):
+        pytest.skip("reference data not mounted")
+    from smc_tpu.models.linear import (load_reference_data, linear_parameters,
+                                       make_linear_loglike,
+                                       exact_linear_posterior)
+    data, X = load_reference_data(path)
+    oracle = exact_linear_posterior(data, X)
+    ll = make_linear_loglike(X)
+    res = smc(ll, linear_parameters(), data,
+              n_parts=5000, n_phi=300, lam=2.1, alpha=0.9,
+              verbose="none", seed=42)
+    mu = res.posterior_mean()
+    assert np.max(np.abs(mu - oracle["mean"])) < 0.5, (mu, oracle["mean"])
+    # and the reference's own published gate on its own data
+    TRUE9 = np.array([1., 1., 1., 2., 2., 1., 3., 3., 1.])
+    assert np.max(np.abs(mu - TRUE9)) < 0.5
+
+
 def test_posterior_mean_unbiased_across_replications(oracle, runs):
     """Across-replication average should beat any single run (MC error
     averaging): a systematic bias larger than pooled MC error fails."""
