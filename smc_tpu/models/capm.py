@@ -52,6 +52,21 @@ def generate_capm_data(T: int = 200, seed: int = 1793
     return data, market
 
 
+def load_reference_capm_data(
+        path: str = "/root/reference/examples/data/capm.jld2"
+        ) -> Tuple[np.ndarray, np.ndarray]:
+    """The reference's SHIPPED CAPM dataset (examples/data/capm.jld2,
+    loaded by estimate_capm.jl:40-42): 3 asset return series and the market
+    return, 36 periods. JLD2 is HDF5 underneath, so h5py reads it directly.
+    Returns (lik_data [3, T], market_data [T]) — estimation on this fixed
+    dataset is what makes cross-framework parity checks possible."""
+    import h5py
+    with h5py.File(path, "r") as f:
+        lik = f["lik_data"][()]      # stored (36, 3) -> Julia (3, 36)
+        mkt = f["market_data"][()]   # stored (36, 1) -> Julia (1, 36)
+    return np.ascontiguousarray(lik.T), np.ascontiguousarray(mkt.T[0])
+
+
 def make_capm_loglike(market_data: np.ndarray):
     """CAPM Gaussian log-likelihood; same batched structure as the linear
     fixture (vmap -> [N, 3, T] broadcasts)."""

@@ -380,3 +380,30 @@ def generate_sw_data(T: int = 156, seed: int = 1793,
     key = jax.random.PRNGKey(seed)
     obs = model.simulate(jnp.asarray(theta, jnp.float64), T, key)
     return np.asarray(obs)
+
+
+def load_reference_sw_data(
+        path: str = "/root/reference/examples/data/sw_orig_smc.h5",
+        demean_hours: bool = True) -> np.ndarray:
+    """The reference's SHIPPED US dataset for the Smets-Wouters example
+    (examples/data/sw_orig_smc.h5, used by examples/dsge_models/
+    dsge_model.jl): 7 observables x 197 quarters.
+
+    The file stores columns in the order (dy, dc, dinve, dw, labobs,
+    pinfobs, robs) — identified by their magnitudes: growth rates ~0.4%%
+    quarterly, hours a large negative level, inflation/rate small positive —
+    and is remapped here to this module's OBS_NAMES order. The shipped
+    labobs is a raw log-hours level (~-46), whereas the SW2007 measurement
+    labobs = constelab + lab_t expects the demeaned series the published
+    usmodel dataset uses; demean_hours=True (default) demeans it so
+    constelab's N(0,2) prior covers the level, exactly as the original
+    dataset is constructed. Returns [7, T] in OBS_NAMES order."""
+    import h5py
+    with h5py.File(path, "r") as f:
+        d = f["data"][()]            # stored (197, 7) -> Julia (7, 197)
+    d = np.ascontiguousarray(d.T)    # file order: dy dc dinve dw lab pinf r
+    order = [0, 1, 2, 3, 5, 6, 4]    # -> dy dc dinve dw pinfobs robs labobs
+    out = d[order]
+    if demean_hours:
+        out[6] = out[6] - out[6].mean()
+    return out
