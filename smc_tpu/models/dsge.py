@@ -189,7 +189,7 @@ def kalman_loglike(T_mat, R_mat, Q, Z, d_obs, H, data, P0=None):
     ys = data.T  # [T, n_obs]
 
     def step(carry, y):
-        s, P = carry
+        s, P, bad = carry
         s_pred = T_mat @ s
         P_pred = T_mat @ P @ T_mat.T + RQR
         y_pred = d_obs + Z @ s_pred
@@ -201,16 +201,20 @@ def kalman_loglike(T_mat, R_mat, Q, Z, d_obs, H, data, P0=None):
         rhs = jnp.concatenate([v[:, None], Z], axis=1)
         sol, logdet = small_psd_logdet_solve(F, rhs)
         alpha = sol[:, 0]
-        ll = -0.5 * (y.shape[0] * _LOG_2PI + logdet + v @ alpha)
+        quad = v @ alpha
+        ll = -0.5 * (y.shape[0] * _LOG_2PI + logdet + quad)
         K = P_pred @ sol[:, 1:].T
         s_new = s_pred + K @ v
         P_new = P_pred - K @ (Z @ P_pred)
         P_new = 0.5 * (P_new + P_new.T)
-        return (s_new, P_new), ll
+        # v'F^-1 v < 0 means F lost definiteness (GJ's log|pivot| cannot
+        # see the sign) and the step's ll is inflated — reject the draw
+        bad = bad | (quad < 0.0)
+        return (s_new, P_new, bad), ll
 
-    (_, _), lls = jax.lax.scan(step, (s0, P0), ys)
+    (_, _, bad), lls = jax.lax.scan(step, (s0, P0, jnp.bool_(False)), ys)
     total = jnp.sum(lls)
-    return jnp.where(jnp.isfinite(total), total, -jnp.inf)
+    return jnp.where(jnp.isfinite(total) & ~bad, total, -jnp.inf)
 
 
 def kalman_loglike_chandrasekhar(T_mat, R_mat, Q, Z, d_obs, H, data, P0=None):
@@ -266,7 +270,8 @@ def kalman_loglike_chandrasekhar(T_mat, R_mat, Q, Z, d_obs, H, data, P0=None):
         sol, logdet = small_psd_logdet_solve(F, rhs)
         Finv_v = sol[:, 0]
         Finv_ZW = sol[:, 1:]
-        ll = -0.5 * (n_o * _LOG_2PI + logdet + v @ Finv_v)
+        quad = v @ Finv_v
+        ll = -0.5 * (n_o * _LOG_2PI + logdet + quad)
         s_new = T_mat @ s + K @ Finv_v
 
         ZW = Z @ W                               # [n_o, n_o]
@@ -280,16 +285,21 @@ def kalman_loglike_chandrasekhar(T_mat, R_mat, Q, Z, d_obs, H, data, P0=None):
         Fnew_inv_ZW, _ = small_psd_logdet_solve(F_new, ZW)
         M_new = M - MWtZt @ Fnew_inv_ZW @ M
         M_new = 0.5 * (M_new + M_new.T)
-        # Divergence guard: in exact arithmetic M_t is negative semidefinite,
-        # so F_t is monotone non-increasing in trace (F_{t+1} = F_t + ZWMW'Z'
-        # with M <= 0) and stays PSD. Unlike the Riccati iteration the
-        # Chandrasekhar recursion is NOT self-correcting: on numerically
-        # extreme prior-tail draws roundoff flips M's definiteness and the
-        # filter silently returns garbage. Trace growth is a cheap exact
-        # witness of that event; flagged draws yield -inf, mirroring the
-        # reference's PosDefException -> -Inf discipline
-        # (src/initialization.jl:46-54, src/mutation.jl:112-121).
-        bad = bad | (jnp.trace(F_new) > tr_F1 * (1.0 + 1e-6) + 1e-12)
+        # Divergence guards. In exact arithmetic M_t is negative
+        # semidefinite, so F_t is monotone non-increasing from F_1, stays
+        # PSD, and every innovation quad v'F^-1 v is >= 0. Unlike the
+        # Riccati iteration the Chandrasekhar recursion is NOT
+        # self-correcting: on numerically extreme prior-tail draws roundoff
+        # flips M's definiteness and the filter silently returns garbage —
+        # measured failure signature (forensics on a +3e13-loglh draw):
+        # quad goes negative at the divergence onset, then diag(F) goes
+        # negative, then trace(F) explodes. Each is a cheap exact witness;
+        # flagged draws yield -inf, mirroring the reference's
+        # PosDefException -> -Inf discipline (src/initialization.jl:46-54).
+        bad = (bad
+               | (quad < 0.0)                                  # F lost PSD
+               | jnp.any(jnp.diag(F_new) <= 0.0)               # F collapsed
+               | (jnp.trace(F_new) > tr_F1 * (1.0 + 1e-6) + 1e-12))  # F grew
         return (s_new, K_new, F_new, W_new, M_new, bad), ll
 
     carry0 = (s0, K1, F1, K1, M1, jnp.bool_(False))

@@ -71,9 +71,11 @@ def gj_inv(A):
 
 def small_psd_logdet_solve(F, B, jitter: float = 0.0):
     """(X, logdet) for symmetric positive-definite F: Gauss-Jordan solve and
-    log-determinant in one elimination (for SPD matrices all pivots are
-    positive up to pivoting, so log|det| = logdet). Non-PD inputs surface as
-    nan/inf for the caller's validity masking."""
+    log-determinant in one elimination. CAVEAT: the logdet is log|det| (the
+    elimination accumulates log|pivot|), so a non-PD F with positive |det|
+    returns a finite, silently-wrong Gaussian normalizer — callers that may
+    feed non-PD matrices must guard definiteness themselves (the Kalman
+    filters check the innovation quad v'F^-1 v >= 0, models/dsge.py)."""
     if jitter:
         n = F.shape[-1]
         F = F + jitter * jnp.eye(n, dtype=F.dtype)

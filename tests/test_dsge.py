@@ -221,6 +221,55 @@ def test_chandrasekhar_matches_standard_kalman():
         assert ch[tail].max() < std[finite_s].max() - 1e4
 
 
+def test_chandrasekhar_divergence_guard_rejects_monster_draw():
+    """Regression: this prior draw (found at 16,384 AS prior draws, TPU
+    bench seed 0) makes the Chandrasekhar recursion diverge POSITIVELY to
+    +3.2e13 — finite, so the isfinite scrub passes it, and exp(dphi*ll)
+    then overflows the first correction step to NaN ESS. Forensics: the
+    innovation quad v'F^-1 v goes negative at t=13 (F loses definiteness;
+    Gauss-Jordan's log|pivot| logdet cannot see the sign), diag(F) goes
+    negative later, trace(F) explodes. The filter's divergence guards must
+    keep it out of the running: -inf, or (the divergence path is chaotic in
+    the last bits, so the guard's trigger step varies across devices) at
+    worst an astronomically negative value — NEVER positive/competitive."""
+    from smc_tpu.models.as_dsge import an_schorfheide, generate_as_data
+
+    theta = jnp.asarray([
+        1.800259549185, 0.011782497078, 2.009463554221, 0.234229140884,
+        0.600543060125, 6.020757238268, 0.428645989435, 0.813271250556,
+        0.628567047724, 0.000230941121, 0.642572622015, 0.956991515353,
+        0.439683103852])
+    model = an_schorfheide()
+    data = generate_as_data(T=80, seed=1793)
+    ll = float(model.loglike(theta, data))
+    assert ll < -1e6, ll  # unguarded round-1 code returned +3.2e13
+
+
+def test_no_competitive_loglh_in_16k_prior_draws():
+    """The round-1 2,048-draw battery missed the positive-divergence mode;
+    at 16,384 draws (the TPU bench's initialization) every draw must be
+    either -inf or deep in the tail relative to plausible fits."""
+    from smc_tpu.models.as_dsge import an_schorfheide, generate_as_data
+    from smc_tpu.params import ParamSpace
+
+    model = an_schorfheide()
+    data = jnp.asarray(generate_as_data(T=80, seed=1793))
+    space = ParamSpace(model.parameters)
+    key, _ = jax.random.split(jax.random.PRNGKey(0))
+    _, kd = jax.random.split(key)
+    draws = space.sample_prior(kd, 16384)
+    llb = jax.jit(jax.vmap(lambda th: model.loglike(th, data)))
+    out = []
+    for i in range(0, 16384, 4096):
+        out.append(np.asarray(llb(draws[i:i + 4096])))
+    lls = np.concatenate(out)
+    assert not np.any(np.isnan(lls))
+    assert not np.any(np.isposinf(lls))
+    finite = np.isfinite(lls)
+    assert finite.mean() > 0.9  # the guard must not mass-reject
+    assert lls[finite].max() < 0.0
+
+
 def test_chandrasekhar_matches_standard_kalman_sw():
     """Same agreement at Smets-Wouters scale (n_s ~ 50, n_obs = 7) where the
     low-rank covariance recursion actually pays."""
