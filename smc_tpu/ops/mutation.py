@@ -288,14 +288,28 @@ def mvnormal_mixture_draw(key, theta_old, mean, cov, c: float = 1.0,
 
 
 def compute_proposal_densities(para_draw, para_subset, mean, cov,
-                               alpha: float = 1.0, c: float = 1.0):
+                               alpha: float = 1.0, c: float = 1.0,
+                               catch_near_zeros: bool = False,
+                               tol: float = 1e-6):
     """(q0, q1) log proposal densities for the mixture (reference
     compute_proposal_densities, src/helpers.jl:128-164; the reference works
-    in levels and logs at the end — same math, done stably in log space)."""
+    in levels and logs at the end — same math, done stably in log space).
+
+    `catch_near_zeros`/`tol` mirror the reference's option of clamping tiny
+    negative covariance-diagonal entries to 0 (src/helpers.jl:140-144).
+    Here the clamp is subsumed by the DegenerateMvNormal eigen-factor,
+    which already truncates eigenvalues below tol*lam_max to rank-reduce
+    (the diagonal component separately clips negative diagonals to 0), so
+    with catch_near_zeros=True only the truncation threshold changes —
+    behaviorally a superset of the reference's fix-up."""
     para_draw = jnp.asarray(para_draw, jnp.float64)
     para_subset = jnp.asarray(para_subset, jnp.float64)
     mean = jnp.asarray(mean, jnp.float64)
     cov = jnp.asarray(cov, jnp.float64)
+    if catch_near_zeros:
+        diag = jnp.diag(cov)
+        fixed = jnp.where((diag < 0) & (diag > -tol), 0.0, diag)
+        cov = cov - jnp.diag(diag) + jnp.diag(fixed)
     U, _, inv_lam, rank, logdet = _deg_factor(cov)
     diag_sd = jnp.sqrt(jnp.clip(jnp.diag(cov), 0.0))
     log_alpha = np.log(alpha) if alpha > 0 else -np.inf
