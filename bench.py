@@ -43,8 +43,11 @@ AS_N_PHI = 100
 
 
 def time_fused_estimation(space, loglike_batched, n_parts, n_phi, lam,
-                          n_blocks, alpha, seed):
+                          n_blocks, alpha, seed, chunk_stages=None):
     """Run a complete fused estimation twice (compile+run, then timed run).
+    chunk_stages bounds the stages per device dispatch (a remote-TPU tunnel
+    kills multi-minute single dispatches with UNAVAILABLE; expensive
+    likelihoods therefore run in chunks of the SAME compiled program).
     Returns (n_stages, wall_s, compile_plus_run_s, log_mdd)."""
     from smc_tpu.smc import make_fused_recursion
     from smc_tpu.ops.schedule import fixed_schedule
@@ -54,7 +57,7 @@ def time_fused_estimation(space, loglike_batched, n_parts, n_phi, lam,
     fused = make_fused_recursion(
         space, loglike_batched, n_blocks, 1, alpha, "systematic",
         0.5 * n_parts, n_phi, sched, True, 0.97, 0.25,
-        store_weight_matrices=False)
+        store_weight_matrices=False, chunk_stages=chunk_stages)
 
     key = jax.random.PRNGKey(seed)
     key, k0 = jax.random.split(key)
@@ -62,21 +65,36 @@ def time_fused_estimation(space, loglike_batched, n_parts, n_phi, lam,
     jax.block_until_ready(cloud.params)
 
     def run(k):
-        st = fused(k, cloud.params, cloud.loglh, cloud.logprior,
-                   cloud.old_loglh, cloud.weights,
-                   0.5, 0.25, 0.0, float(n_parts), 1, 0.0, False)
-        jax.block_until_ready(st["params"])
-        return st
+        state = (0.5, 0.25, 0.0, float(n_parts), 1, 0.0, False)
+        s_global, log_mdd, phi = 0, 0.0, 0.0
+        arrays = (cloud.params, cloud.loglh, cloud.logprior,
+                  cloud.old_loglh, cloud.weights)
+        while phi < 1.0:
+            st = fused(k, *arrays, *state, s_global)
+            jax.block_until_ready(st["params"])
+            if bool(st["nan_ess"]):
+                raise RuntimeError("NaN ESS in fused bench run")
+            if int(st["s"]) == s_global:
+                raise RuntimeError(f"no progress at phi={float(st['phi'])}")
+            s_global = int(st["s"])
+            phi = float(st["phi"])
+            log_mdd += float(st["log_mdd"])
+            k = st["key"]
+            arrays = (st["params"], st["loglh"], st["logprior"],
+                      st["old_loglh"], st["weights"])
+            state = (float(st["c"]), float(st["accept_rate"]), phi,
+                     float(st["ess_prev"]), int(st["j"]),
+                     float(st["phi_prop"]), bool(st["resampled_last"]))
+        return s_global, log_mdd
 
     t0 = time.perf_counter()
-    st = run(key)
+    n_stages, mdd = run(key)
     t_first = time.perf_counter() - t0
 
-    key2 = jax.random.PRNGKey(seed + 1)
     t0 = time.perf_counter()
-    st = run(key2)
+    n_stages, mdd = run(jax.random.PRNGKey(seed + 1))
     dt = time.perf_counter() - t0
-    return int(st["s"]), dt, t_first, float(st["log_mdd"])
+    return n_stages, dt, t_first, mdd
 
 
 def main():
@@ -105,7 +123,8 @@ def main():
         as_space = ParamSpace(an_schorfheide_parameters())
         as_llb = jax.vmap(lambda th: model.loglike(th, as_data))
         as_stages, as_dt, as_first, as_mdd = time_fused_estimation(
-            as_space, as_llb, AS_N_PARTS, AS_N_PHI, 2.0, 1, 0.9, seed=0)
+            as_space, as_llb, AS_N_PARTS, AS_N_PHI, 2.0, 1, 0.9, seed=0,
+            chunk_stages=8)
         extras = {
             "as_mutations_per_s_per_chip": round(
                 AS_N_PARTS * as_stages / as_dt / n_chips, 1),

@@ -168,7 +168,8 @@ def make_fused_recursion(space, loglike_batched, n_blocks, n_mh_steps, alpha,
                          use_fixed_schedule, tempering_target, target,
                          store_weight_matrices,
                          tempered_update_prior_weight=0.0,
-                         log_prob_old_data=0.0, old_loglike_batched=None):
+                         log_prob_old_data=0.0, old_loglike_batched=None,
+                         chunk_stages: Optional[int] = None):
     """Build ONE jitted program that runs the ENTIRE tempering recursion
     (reference while loop, src/smc_main.jl:377-508) device-side as a
     `lax.while_loop` over stages.
@@ -203,7 +204,11 @@ def make_fused_recursion(space, loglike_batched, n_blocks, n_mh_steps, alpha,
         resampling_method, threshold, tempered_update_prior_weight,
         log_prob_old_data, old_loglike_batched)
     sched_dev = jnp.asarray(sched)
-    max_stages = int(n_phi)  # completed stages beyond the phi=0 entry
+    # stages per dispatch: full fusion by default; bounded when a single
+    # dispatch must stay under an execution deadline (e.g. a remote-TPU
+    # tunnel kills multi-minute executions with UNAVAILABLE — measured on
+    # the An-Schorfheide fused run; expensive likelihoods want chunks)
+    max_stages = int(chunk_stages) if chunk_stages else int(n_phi)
 
     @jax.jit
     def fused(key, params, loglh, logprior, old_loglh, weights,
@@ -321,6 +326,7 @@ def smc(loglikelihood: Callable,
         store_weight_matrices: bool = True,
         batched: bool = False,
         fused: Optional[bool] = None,
+        fused_chunk_stages: Optional[int] = None,
         seed: int = 0,
         key=None,
         mesh=None,
@@ -559,7 +565,8 @@ def smc(loglikelihood: Callable,
             resampling_method, threshold, n_phi, sched,
             use_fixed_schedule, tempering_target, target,
             store_weight_matrices, tempered_update_prior_weight,
-            log_prob_old_data, old_loglike_batched)
+            log_prob_old_data, old_loglike_batched,
+            chunk_stages=fused_chunk_stages)
         # Chunk loop: each invocation runs up to n_phi stages device-side.
         # Fixed schedules finish in one chunk; ESS-driven adaptive schedules
         # may need several (stage count unbounded) — same compiled program,

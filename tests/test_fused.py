@@ -66,6 +66,18 @@ def test_fused_matches_host_blocked_multistep():
     _assert_runs_match(host, fused)
 
 
+def test_fused_chunk_stages_matches_host(reg):
+    """fused_chunk_stages bounds stages per dispatch (deadline-limited
+    devices); chunking must not change the chain."""
+    y, ll = reg
+    kw = dict(n_parts=512, n_phi=50, lam=2.0, alpha=0.9, seed=3,
+              verbose="none")
+    host = smc(ll, regression_parameters(), y, fused=False, **kw)
+    fused = smc(ll, regression_parameters(), y, fused=True,
+                fused_chunk_stages=7, **kw)
+    _assert_runs_match(host, fused)
+
+
 def test_fused_matches_host_across_chunk_boundaries(reg):
     """Adaptive runs can exceed n_phi stages; the fused driver then re-invokes
     the compiled program with fresh trace buffers. Crossing chunk boundaries
