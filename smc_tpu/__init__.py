@@ -40,7 +40,8 @@ from smc_tpu.cloud import (
     add_parameters_to_cloud,
 )
 from smc_tpu.ops.resample import resample
-from smc_tpu.ops.correction import compute_ess, incremental_weights
+from smc_tpu.ops.correction import (compute_ess, incremental_weights,
+    log_incremental_weights)
 from smc_tpu.ops.mutation import (mutation, mvnormal_mixture_draw,
     compute_proposal_densities, generate_free_blocks, generate_all_blocks,
     generate_param_blocks)
@@ -75,6 +76,7 @@ __all__ = [
     "get_cov",
     "compute_ess",
     "incremental_weights",
+    "log_incremental_weights",
     "weighted_mean",
     "weighted_cov",
     "weighted_std",

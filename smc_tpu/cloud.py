@@ -358,8 +358,13 @@ def add_parameters_to_cloud(cloud_or_file, new_space, old_para_inds,
     else:
         cloud = cloud_or_file
     expected = new_space.n_para
-    if regime_switching and expected != new_space.n_para:
-        raise ValueError("regime_switching disagrees with new_space layout")
+    if regime_switching != new_space.regime_switching:
+        raise ValueError(
+            f"regime_switching={regime_switching} disagrees with new_space "
+            f"(built with regime_switching={new_space.regime_switching}); "
+            "the flat-column layout the cloud is extended into comes from "
+            "the space, so the flags must agree (reference "
+            "src/particle.jl:717 keys the layout on this kwarg)")
     old_para_inds = np.asarray(old_para_inds)
     if old_para_inds.dtype == bool:
         if old_para_inds.shape[0] != expected:

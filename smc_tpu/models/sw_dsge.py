@@ -402,6 +402,26 @@ def load_reference_sw_data(
     with h5py.File(path, "r") as f:
         d = f["data"][()]            # stored (197, 7) -> Julia (7, 197)
     d = np.ascontiguousarray(d.T)    # file order: dy dc dinve dw lab pinf r
+    # Loud signature check of the assumed column order (shipped file: growth
+    # rates ~0.37-0.44%% mean / std < 3; log-hours level ~-46; inflation and
+    # rate small positive with robs strictly nonneg-ish). A differently
+    # ordered or rescaled file must fail HERE, not silently mis-map.
+    means = d.mean(axis=1)
+    if not (np.all(np.abs(means[:4]) < 2.0)
+            and np.all(d[:4].std(axis=1) < 5.0)):
+        raise ValueError(
+            f"columns 0-3 of {path} do not look like quarterly growth rates "
+            f"(means {means[:4]}); observable order differs from the "
+            "expected (dy, dc, dinve, dw, labobs, pinfobs, robs)")
+    if not means[4] < -10.0:
+        raise ValueError(
+            f"column 4 of {path} (mean {means[4]:.2f}) is not a raw "
+            "log-hours level; observable order differs from expectation")
+    if not (0.0 < means[5] < 5.0 and 0.0 < means[6] < 5.0
+            and d[6].min() > -1.0):
+        raise ValueError(
+            f"columns 5-6 of {path} (means {means[5]:.2f}, {means[6]:.2f}) "
+            "do not look like inflation / policy-rate observables")
     order = [0, 1, 2, 3, 5, 6, 4]    # -> dy dc dinve dw pinfobs robs labobs
     out = d[order]
     if demean_hours:

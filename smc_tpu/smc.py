@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from smc_tpu.cloud import Cloud
 from smc_tpu.params import ParamSpace
-from smc_tpu.ops.correction import incremental_weights
+from smc_tpu.ops.correction import correct
 from smc_tpu.ops.schedule import fixed_schedule, solve_adaptive_phi
 from smc_tpu.ops.resample import resample as resample_indices, VALID_METHODS
 from smc_tpu.ops.mutation import make_mutation_step
@@ -63,7 +63,13 @@ class SMCResult:
 def marginal_data_density(w: np.ndarray, W: np.ndarray) -> float:
     """log-MDD from the saved weight matrices: sum_n log((1/N) sum_i
     W_{i,n-1} * w~_{i,n}). This is the quantity the reference saves w/W for
-    (SURVEY.md §0; src/smc_main.jl:354-367, 419-420)."""
+    (SURVEY.md §0; src/smc_main.jl:354-367, 419-420).
+
+    Note: `w` holds the RAW incremental weights for reference-artifact
+    parity; in extreme configs (coarse schedule x |loglh| in the thousands)
+    they can underflow to 0 even though the estimation itself is computed
+    stably in log space — in that case use `SMCResult.log_mdd`, which is
+    accumulated from the shift-invariant per-stage increments."""
     n = w.shape[0]
     out = 0.0
     for s in range(1, w.shape[1]):
@@ -127,14 +133,14 @@ def make_stage_core(space, loglike_batched, n_blocks, n_mh_steps, alpha,
     def superstep(skey, params, loglh, logprior, old_loglh, weights,
                   phi_n, phi_n1, c_scalar):
         n = params.shape[0]
-        # -- Step 1: correction (src/smc_main.jl:400-420) --
-        inc_w = incremental_weights(loglh, old_loglh, phi_n, phi_n1,
-                                    omega, log_prob_old_data)
-        mdd_inc = jnp.log(jnp.sum(weights * inc_w) / n)
-        new_w = weights * inc_w
-        norm_w = n * new_w / jnp.sum(new_w)
+        # -- Step 1: correction (src/smc_main.jl:400-420), computed in log
+        # space relative to the cloud max so a coarse schedule meeting a
+        # peaked likelihood (|loglh| ~ thousands) cannot uniformly underflow
+        # the weights to 0/0 — the failure the reference NaN-aborts on --
+        inc_w, norm_w, ess, mdd_inc = correct(
+            loglh, old_loglh, weights, phi_n, phi_n1, omega,
+            log_prob_old_data)
         # -- Step 2: selection (src/smc_main.jl:426-446) --
-        ess = n * n / jnp.sum(norm_w * norm_w)
         do_resample = ess < threshold
         kr, kp, km = jax.random.split(skey, 3)
         res_idx = resample_indices(kr, norm_w, method=resampling_method)
@@ -374,6 +380,17 @@ def smc(loglikelihood: Callable,
     `profile_dir` writes a jax.profiler trace of the whole recursion for
     TensorBoard/XProf — the upgrade over the reference's wall-clock-only
     timing (SURVEY.md §5 "Tracing/profiling").
+
+    Performance note — the FUSED fast path: with `verbose="none"` (and no
+    run_test/save_intermediate/continue_intermediate) the entire tempering
+    recursion runs as ONE device-side `lax.while_loop` with zero per-stage
+    host syncs (`make_fused_recursion`). The default `verbose="low"` keeps
+    the host stage loop so it can print live per-stage lines, paying one
+    dispatch + scalar fetch per stage — measured at ~25 ms/stage overhead
+    over a remote-TPU tunnel. For production runs on small/medium models,
+    pass `verbose="none"` (or `fused=True`) to get the fused path;
+    `fused_chunk_stages` bounds stages per dispatch when a single dispatch
+    must stay under an execution deadline.
     """
     del parallel, data_vintage, old_vintage, smc_iteration, filestring_addl
     del intermediate_stage_start
@@ -576,10 +593,13 @@ def smc(loglikelihood: Callable,
         chunk_state = (c, float(cloud.accept_rate), 0.0,
                        float(cloud.ESS[-1]), j, phi_prop,
                        bool(resampled_last_period))
+        chunk_timer = diag.StageTimer()
         while phi_n < 1.0:
             st = fused_fn(key, cloud.params, cloud.loglh, cloud.logprior,
                           cloud.old_loglh, cloud.weights, *chunk_state,
                           s_global)
+            jax.block_until_ready(st["params"])
+            cloud.total_sampling_time += chunk_timer.lap()
             n_in_chunk = int(st["s"]) - s_global
             if n_in_chunk == 0 and not bool(st["nan_ess"]):
                 raise RuntimeError(
