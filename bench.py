@@ -28,10 +28,16 @@ import jax.numpy as jnp
 jax.config.update("jax_enable_x64", True)
 try:
     import os
-    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # Persistent compile cache ONLY on local backends: enabling it on the
+    # remote-TPU tunnel ("axon") hangs the client inside the very first
+    # compile RPC (measured round 3: even a 512x512 matmul never returns;
+    # the main thread blocks on the tunnel socket). This was the mechanism
+    # behind round 2's UNAVAILABLE AS-bench failure.
+    if jax.default_backend() not in ("tpu",):
+        os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 except Exception:
     pass
 

@@ -25,10 +25,13 @@ import numpy as np
 
 jax.config.update("jax_enable_x64", True)
 try:
-    _os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # Persistent cache only off-TPU: on the remote-TPU tunnel the cache
+    # config hangs the first compile RPC (see bench.py note).
+    if jax.default_backend() not in ("tpu",):
+        _os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 except Exception:
     pass
 
