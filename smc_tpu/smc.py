@@ -141,15 +141,24 @@ def make_stage_core(space, loglike_batched, n_blocks, n_mh_steps, alpha,
             loglh, old_loglh, weights, phi_n, phi_n1, omega,
             log_prob_old_data)
         # -- Step 2: selection (src/smc_main.jl:426-446) --
+        # lax.cond so the cumsum + searchsorted + 4-array gather only
+        # executes on stages that actually resample (measured +8 ms device
+        # at 32k particles on a v5e; most stages of a sane schedule skip).
+        # Chain-identical to the unconditional form: the resampled branch
+        # consumes the same kr, and the skip branch was an identity gather.
         do_resample = ess < threshold
         kr, kp, km = jax.random.split(skey, 3)
-        res_idx = resample_indices(kr, norm_w, method=resampling_method)
-        idx = jnp.where(do_resample, res_idx, jnp.arange(n))
-        params = jnp.take(params, idx, axis=0)
-        loglh = jnp.take(loglh, idx)
-        logprior = jnp.take(logprior, idx)
-        old_loglh = jnp.take(old_loglh, idx)
-        weights_out = jnp.where(do_resample, jnp.ones_like(norm_w), norm_w)
+
+        def _resample_branch(ops):
+            p, l, lp, ol, nw = ops
+            idx = resample_indices(kr, nw, method=resampling_method)
+            return (jnp.take(p, idx, axis=0), jnp.take(l, idx),
+                    jnp.take(lp, idx), jnp.take(ol, idx),
+                    jnp.ones_like(nw))
+
+        (params, loglh, logprior, old_loglh, weights_out) = jax.lax.cond(
+            do_resample, _resample_branch, lambda ops: ops,
+            (params, loglh, logprior, old_loglh, norm_w))
         # -- Step 3: mutation (src/smc_main.jl:448-484) --
         vals_free = params[:, free_inds]
         wsum = jnp.sum(weights_out)
