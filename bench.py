@@ -127,7 +127,7 @@ def main():
         model = an_schorfheide()
         as_data = generate_as_data(T=80, seed=1793)
         as_space = ParamSpace(an_schorfheide_parameters())
-        as_llb = jax.vmap(lambda th: model.loglike(th, as_data))
+        as_llb = lambda th: model.loglike_batched(th, as_data)
         as_stages, as_dt, as_first, as_mdd = time_fused_estimation(
             as_space, as_llb, AS_N_PARTS, AS_N_PHI, 2.0, 1, 0.9, seed=0,
             chunk_stages=8)

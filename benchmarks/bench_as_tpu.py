@@ -71,30 +71,38 @@ def main():
     model = an_schorfheide()
     data = generate_as_data(T=80, seed=1793)
     space = ParamSpace(an_schorfheide_parameters())
-    llb = jax.vmap(lambda th: model.loglike(th, data))
+    # batch-LAST likelihood (models/dsge.py bl_* kernels) — the TPU fast
+    # path; pass BASELINE=1 to measure the old vmapped batch-first path
+    if _os.environ.get("BASELINE"):
+        llb = jax.vmap(lambda th: model.loglike(th, data))
+    else:
+        llb = lambda th: model.loglike_batched(th, data)
 
     key = jax.random.PRNGKey(0)
     params = space.sample_prior(key, n)
     jax.block_until_ready(params)
 
     # --- suspect 1: RE solve (cyclic reduction + GJ + spectral radii) ------
+    from smc_tpu.models.dsge import (bl_solve_linear_re,
+                                     bl_kalman_loglike_chandrasekhar)
     sysb = jax.vmap(model.system_fn)
     A, B, C, D = sysb(params)
     jax.block_until_ready(A)
-    re_b = jax.jit(jax.vmap(solve_linear_re))
+    bl = lambda x: jnp.moveaxis(x, 0, -1)
+    re_b = jax.jit(lambda a, b, c, d: bl_solve_linear_re(
+        bl(a), bl(b), bl(c), bl(d)))
     best, tc = timeit(re_b, A, B, C, D)
-    emit("re_solve", best, n, tc)
+    emit("re_solve_bl", best, n, tc)
 
-    # --- suspect 2: Kalman (Chandrasekhar) scan alone ----------------------
+    # --- suspect 2: Kalman (Chandrasekhar) scan alone, batch-last ----------
     X, M, ok = re_b(A, B, C, D)
     Q = jax.vmap(model.shock_cov_fn)(params)
     d_obs, Z, H = jax.vmap(model.measurement_fn)(params)
     data_dev = jnp.asarray(data)
-    kf_b = jax.jit(jax.vmap(
-        lambda x, m, q, z, dd, h: kalman_loglike_chandrasekhar(
-            x, m, q, z, dd, h, data_dev)))
+    kf_b = jax.jit(lambda x, m, q, z, dd, h: bl_kalman_loglike_chandrasekhar(
+        x, m, bl(q), bl(z), jnp.moveaxis(dd, 0, -1), bl(h), data_dev))
     best, tc = timeit(kf_b, X, M, Q, Z, d_obs, H)
-    emit("kalman_chand_scan", best, n, tc)
+    emit("kalman_chand_scan_bl", best, n, tc)
 
     # --- full likelihood ----------------------------------------------------
     llj = jax.jit(llb)

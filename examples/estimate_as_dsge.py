@@ -34,8 +34,8 @@ def main():
               resampling_method="systematic", verbose="low", seed=42)
     if _os.environ.get("SMC_TPU_SMOKE"):  # CI smoke: tiny but same code path
         kw.update(n_parts=64, n_phi=10, verbose="none")
-    result = smc_tpu.smc(model.loglike, an_schorfheide_parameters(), data,
-                         **kw)
+    result = smc_tpu.smc(model.loglike_batched, an_schorfheide_parameters(),
+                         data, batched=True, **kw)
 
     mu, sd = result.posterior_mean(), result.posterior_std()
     print(f"\n{'param':>8s} {'true':>7s} {'mean':>8s} {'std':>8s}")

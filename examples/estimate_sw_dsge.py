@@ -31,7 +31,8 @@ def main():
               resampling_method="multinomial", verbose="low", seed=42)
     if _os.environ.get("SMC_TPU_SMOKE"):  # CI smoke: tiny but same code path
         kw.update(n_parts=64, n_phi=8, verbose="none")
-    result = smc_tpu.smc(model.loglike, sw_parameters(), data, **kw)
+    result = smc_tpu.smc(model.loglike_batched, sw_parameters(), data,
+                         batched=True, **kw)
 
     mu, sd = result.posterior_mean(), result.posterior_std()
     print(f"\n{'param':>11s} {'mode':>7s} {'mean':>8s} {'std':>7s}")

@@ -32,9 +32,25 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from smc_tpu.ops.linalg import gj_solve, gj_inv, small_psd_logdet_solve
+from smc_tpu.ops.linalg import (gj_solve, gj_inv, small_psd_logdet_solve,
+                                bl_matmul, bl_transpose, bl_gj_solve,
+                                bl_psd_logdet_solve)
 
 _LOG_2PI = 1.8378770664093453
+
+
+def _bl_matvec(A, x):
+    """[i,j,N] @ [j,N] -> [i,N] as unrolled FMAs (see bl_matmul: dot_general
+    on tiny batched matrices is ~100x off roofline on TPU)."""
+    j = A.shape[1]
+    acc = A[:, 0, :] * x[None, 0, :]
+    for jj in range(1, j):
+        acc = acc + A[:, jj, :] * x[None, jj, :]
+    return acc
+
+
+def _bl_sym(A):
+    return 0.5 * (A + bl_transpose(A))
 
 
 # ---------------------------------------------------------------------------
@@ -309,6 +325,132 @@ def kalman_loglike_chandrasekhar(T_mat, R_mat, Q, Z, d_obs, H, data, P0=None):
 
 
 # ---------------------------------------------------------------------------
+# Batch-LAST likelihood path: the whole particle batch as the minor (lane)
+# axis of every intermediate.
+#
+# The vmapped path stores per-particle matrices as [N, r, c]; TPU pads the
+# trailing (r, c) to (8, 128), a ~21x memory amplification for 6x6 blocks,
+# and the Chandrasekhar scan is pure HBM traffic — measured 10.1 s for 16k
+# particles x 80 steps on a v5e. The SAME math over [r, c, N] arrays pads
+# only r -> 8 and keeps the batch on lanes: every op runs at full vector
+# width with ~1.1x padding. See ops/linalg.py bl_* for the layout contract.
+# ---------------------------------------------------------------------------
+
+
+def bl_spectral_radius_bound(M, n_squarings: int = 12):
+    """Batch-last twin of _spectral_radius_bound: M [n,n,N] -> rho bound [N]."""
+    def body(_, carry):
+        M, log_scale = carry
+        nrm = jnp.sqrt(jnp.sum(M * M, axis=(0, 1))) + 1e-300
+        M = M / nrm
+        return bl_matmul(M, M), 2.0 * (log_scale + jnp.log(nrm))
+
+    log_scale = jnp.zeros(M.shape[-1], M.dtype)
+    Mk, log_scale = jax.lax.fori_loop(0, n_squarings, body, (M, log_scale))
+    nrm_last = jnp.sqrt(jnp.sum(Mk * Mk, axis=(0, 1))) + 1e-300
+    total = log_scale + jnp.log(nrm_last)
+    return jnp.exp(total / (2.0 ** n_squarings))
+
+
+def bl_solve_linear_re(A, B, C, D, n_iter: int = 16, tol: float = 1e-8):
+    """Batch-last cyclic reduction: A/B/C [n,n,N], D [n,k,N] ->
+    (X [n,n,N], M [n,k,N], ok [N]). Same algorithm and guards as
+    solve_linear_re."""
+    n = A.shape[0]
+
+    def cr_body(_, carry):
+        A0, A1, A2, Ah = carry
+        SA = bl_gj_solve(A1, jnp.concatenate([A0, A2], axis=1))
+        SA0, SA2 = SA[:, :n, :], SA[:, n:, :]
+        A2SA0 = bl_matmul(A2, SA0)
+        Ah = Ah - A2SA0
+        A1n = A1 - bl_matmul(A0, SA2) - A2SA0
+        return -bl_matmul(A0, SA0), A1n, -bl_matmul(A2, SA2), Ah
+
+    _, _, _, Ah = jax.lax.fori_loop(0, n_iter, cr_body, (A, B, C, B))
+    X = -bl_gj_solve(Ah, A)
+    lhs = B + bl_matmul(C, X)
+    M = -bl_gj_solve(lhs, D)
+
+    resid = A + bl_matmul(B, X) + bl_matmul(C, bl_matmul(X, X))
+    scale = jnp.maximum(jnp.max(jnp.abs(A), axis=(0, 1)), 1.0)
+    converged = jnp.max(jnp.abs(resid), axis=(0, 1)) < tol * scale
+    stable = bl_spectral_radius_bound(X) < 1.0
+    F = -bl_gj_solve(lhs, C)
+    unique = bl_spectral_radius_bound(F) < 1.0
+    finite = (jnp.all(jnp.isfinite(X), axis=(0, 1))
+              & jnp.all(jnp.isfinite(M), axis=(0, 1)))
+    ok = converged & stable & unique & finite
+    X = jnp.where(ok[None, None, :], X, 0.0)
+    M = jnp.where(ok[None, None, :], M, 0.0)
+    return X, M, ok
+
+
+def bl_lyapunov_doubling(T, Q, n_iter: int = 30):
+    """Batch-last doubling for P = T P T' + Q, all [n,n,N]."""
+    def body(_, carry):
+        Ak, Pk = carry
+        return (bl_matmul(Ak, Ak),
+                Pk + bl_matmul(Ak, bl_matmul(Pk, bl_transpose(Ak))))
+
+    _, P = jax.lax.fori_loop(0, n_iter, body, (T, Q))
+    return P
+
+
+def bl_kalman_loglike_chandrasekhar(T_mat, R_mat, Q, Z, d_obs, H, data):
+    """Batch-last Chandrasekhar Kalman likelihood: system matrices [.,.,N],
+    d_obs [n_o,N], shared data [n_o,T] -> loglh [N]. Identical recursions
+    and divergence guards as kalman_loglike_chandrasekhar."""
+    n_s = T_mat.shape[0]
+    n_o = Z.shape[0]
+    nb = T_mat.shape[-1]
+    RQR = bl_matmul(R_mat, bl_matmul(Q, bl_transpose(R_mat)))
+    P0 = bl_lyapunov_doubling(T_mat, RQR)
+
+    F1 = _bl_sym(bl_matmul(Z, bl_matmul(P0, bl_transpose(Z))) + H)
+    K1 = bl_matmul(T_mat, bl_matmul(P0, bl_transpose(Z)))
+    eye_o = jnp.broadcast_to(jnp.eye(n_o, dtype=F1.dtype)[:, :, None],
+                             (n_o, n_o, nb))
+    M1 = _bl_sym(-bl_gj_solve(F1, eye_o))
+    s0 = jnp.zeros((n_s, nb), F1.dtype)
+
+    ys = jnp.asarray(data).T  # [T, n_o] shared across the batch
+    tr_F1 = jnp.trace(F1, axis1=0, axis2=1)
+
+    def step(carry, y):
+        s, K, F, W, M, bad = carry
+        v = y[:, None] - d_obs - _bl_matvec(Z, s)          # [n_o, N]
+        rhs = jnp.concatenate([v[:, None, :], bl_matmul(Z, W)], axis=1)
+        sol, logdet = bl_psd_logdet_solve(F, rhs)
+        Finv_v = sol[:, 0, :]
+        Finv_ZW = sol[:, 1:, :]
+        quad = jnp.sum(v * Finv_v, axis=0)
+        ll = -0.5 * (n_o * _LOG_2PI + logdet + quad)
+        s_new = _bl_matvec(T_mat, s) + _bl_matvec(K, Finv_v)
+
+        ZW = bl_matmul(Z, W)
+        MWtZt = bl_matmul(M, bl_transpose(ZW))
+        WMWtZt = bl_matmul(W, MWtZt)
+        F_new = _bl_sym(F + bl_matmul(Z, WMWtZt))
+        K_new = K + bl_matmul(T_mat, WMWtZt)
+        W_new = bl_matmul(T_mat, W) - bl_matmul(K, Finv_ZW)
+        Fnew_inv_ZW, _ = bl_psd_logdet_solve(F_new, ZW)
+        M_new = _bl_sym(M - bl_matmul(MWtZt, bl_matmul(Fnew_inv_ZW, M)))
+        diag_F = jnp.diagonal(F_new, axis1=0, axis2=1)     # [N, n_o]
+        bad = (bad
+               | (quad < 0.0)
+               | jnp.any(diag_F <= 0.0, axis=1)
+               | (jnp.trace(F_new, axis1=0, axis2=1)
+                  > tr_F1 * (1.0 + 1e-6) + 1e-12))
+        return (s_new, K_new, F_new, W_new, M_new, bad), ll
+
+    carry0 = (s0, K1, F1, K1, M1, jnp.zeros(nb, bool))
+    (_, _, _, _, _, bad), lls = jax.lax.scan(step, carry0, ys)
+    total = jnp.sum(lls, axis=0)
+    return jnp.where(jnp.isfinite(total) & ~bad, total, -jnp.inf)
+
+
+# ---------------------------------------------------------------------------
 # LinearDSGE: generic model container
 # ---------------------------------------------------------------------------
 
@@ -340,6 +482,29 @@ class LinearDSGE:
         kf = (kalman_loglike_chandrasekhar if self.use_chand_recursion
               else kalman_loglike)
         ll = kf(X, M, Q, Z, d_obs, H, jnp.asarray(data))
+        return jnp.where(ok, ll, -jnp.inf)
+
+    def loglike_batched(self, thetas, data):
+        """Whole-cloud likelihood [N, P] -> [N] in the batch-LAST layout
+        (bl_* kernels above): the TPU fast path, ~an order of magnitude
+        less HBM traffic than vmapping `loglike` (which pads every tiny
+        per-particle matrix to an (8, 128) tile). Pass to smc() with
+        batched=True. Same math, same -inf totality discipline; agrees
+        with the vmapped path to ~1e-10 (tests/test_dsge.py)."""
+        thetas = jnp.asarray(thetas, jnp.float64)
+        A, B, C, D = jax.vmap(self.system_fn)(thetas)       # [N, r, c]
+        Q = jax.vmap(self.shock_cov_fn)(thetas)
+        d_obs, Z, H = jax.vmap(self.measurement_fn)(thetas)
+        bl = lambda x: jnp.moveaxis(x, 0, -1)
+        X, M, ok = bl_solve_linear_re(bl(A), bl(B), bl(C), bl(D))
+        if not self.use_chand_recursion:
+            # plain-filter configs keep the vmapped path (accuracy parity
+            # is what matters there, not throughput)
+            ll = jax.vmap(lambda th: self.loglike(th, data))(thetas)
+            return ll
+        ll = bl_kalman_loglike_chandrasekhar(
+            X, M, bl(Q), bl(Z), jnp.moveaxis(d_obs, 0, -1), bl(H),
+            jnp.asarray(data))
         return jnp.where(ok, ll, -jnp.inf)
 
     def simulate(self, theta, T: int, key, burn: int = 100):

@@ -40,12 +40,20 @@ def gj_solve(A, B, return_logabsdet: bool = False):
         col = jnp.abs(M[..., :, k])
         col = jnp.where(rows >= k, col, -jnp.inf)
         p = jnp.argmax(col, axis=-1)                      # [...]
-        # swap rows k <-> p (data-parallel permutation gather)
-        rows_b = jnp.broadcast_to(rows, batch + (n,))
-        p_b = p[..., None]
-        perm = jnp.where(rows_b == k, p_b,
-                         jnp.where(rows_b == p_b, k, rows_b))
-        M = jnp.take_along_axis(M, perm[..., None], axis=-2)
+        # swap rows k <-> p WITHOUT a gather: per-batch row extraction as a
+        # masked reduction over the (tiny) row axis plus elementwise
+        # selects. take_along_axis with per-batch indices lowered to a
+        # generic gather that dominated the batched Kalman scan on TPU
+        # (measured: the 16k-particle An-Schorfheide Chandrasekhar scan
+        # spent ~10 s in these swaps; mask-select removes the gather
+        # entirely at O(n) extra elementwise work).
+        onehot_p = (rows == p[..., None]).astype(M.dtype)   # [..., n]
+        row_p = jnp.sum(M * onehot_p[..., None], axis=-2)   # [..., n+m]
+        row_k = M[..., k, :]
+        is_k = (rows == k)[..., None]                       # [n, 1] mask
+        is_p = (onehot_p > 0)[..., None]
+        M = jnp.where(is_k, row_p[..., None, :],
+                      jnp.where(is_p, row_k[..., None, :], M))
 
         pivot = M[..., k, k]
         logabsdet = logabsdet + jnp.log(jnp.abs(pivot))
@@ -67,6 +75,86 @@ def gj_inv(A):
     n = A.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
     return gj_solve(A, eye)
+
+
+# ---------------------------------------------------------------------------
+# Batch-LAST variants: matrices stored [r, c, N] with the particle batch on
+# the minor (lane) axis.
+#
+# TPU tiles pad the last two dims to (8, 128); a vmapped [N, 6, 6] f64
+# array therefore pads 6x6 -> 8x128 (21x memory amplification), and every
+# intermediate of a batched Kalman step pays it — measured 10.1 s for the
+# 16k-particle An-Schorfheide Chandrasekhar scan. Storing the SAME math as
+# [6, 6, N] pads only 6 -> 8 on the sublane axis (1.33x) and keeps N on
+# lanes, so elementwise work vectorizes at full width and per-particle
+# matmuls become einsum('ijn,jkn->ikn') contractions over the tiny static
+# j axis. This is the layout the hardware wants; no Pallas needed.
+# ---------------------------------------------------------------------------
+
+
+def bl_matmul(A, B):
+    """[i,j,N] @ [j,k,N] -> [i,k,N] per-lane matmul.
+
+    Deliberately NOT an einsum/dot_general: XLA lowers a batched
+    tiny-matrix contraction through the MXU path, measured at ~16 ms per
+    [16k,6,6] f64 matmul on a v5e (49 ms/step for a 3-matmul Kalman-like
+    scan body — the entire An-Schorfheide likelihood pathology). A
+    statically unrolled sum of rank-broadcast fused multiply-adds over the
+    tiny j axis is pure VPU work at full lane width instead."""
+    j = A.shape[1]
+    acc = A[:, 0, None, :] * B[None, 0, :, :]
+    for jj in range(1, j):
+        acc = acc + A[:, jj, None, :] * B[None, jj, :, :]
+    return acc
+
+
+def bl_transpose(A):
+    """[i,j,N] -> [j,i,N]."""
+    return jnp.swapaxes(A, 0, 1)
+
+
+def bl_gj_solve(A, B, return_logabsdet: bool = False):
+    """Batch-last Gauss-Jordan with partial pivoting: A [n,n,N], B [n,m,N]
+    -> X [n,m,N] (and optionally log|det A| [N]). Same elimination as
+    gj_solve, with the pivot swap as mask-selects over the tiny row axis —
+    no gathers, every op a [rows, cols, N] elementwise/reduce."""
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    n = A.shape[0]
+    M = jnp.concatenate([A, B.astype(A.dtype)], axis=1)   # [n, n+m, N]
+    nb = A.shape[-1]
+    rows = jnp.arange(n)
+    logabsdet = jnp.zeros((nb,), A.dtype)
+
+    for k in range(n):
+        col = jnp.abs(M[:, k, :])                          # [n, N]
+        col = jnp.where(rows[:, None] >= k, col, -jnp.inf)
+        p = jnp.argmax(col, axis=0)                        # [N]
+        onehot_p = (rows[:, None] == p[None, :]).astype(M.dtype)  # [n, N]
+        row_p = jnp.sum(M * onehot_p[:, None, :], axis=0)  # [n+m, N]
+        row_k = M[k]                                       # [n+m, N]
+        is_k = (rows == k)[:, None, None]
+        is_p = (onehot_p > 0)[:, None, :]
+        M = jnp.where(is_k, row_p[None],
+                      jnp.where(is_p, row_k[None], M))
+
+        pivot = M[k, k, :]                                 # [N]
+        logabsdet = logabsdet + jnp.log(jnp.abs(pivot))
+        factor = M[:, k, :] / pivot[None, :]               # [n, N]
+        factor = factor.at[k].set(0.0)
+        M = M - factor[:, None, :] * M[k:k + 1, :, :]
+        M = M.at[k].set(M[k] / pivot[None, :])
+
+    X = M[:, n:, :]
+    if return_logabsdet:
+        return X, logabsdet
+    return X
+
+
+def bl_psd_logdet_solve(F, B):
+    """(X, logdet) batch-last twin of small_psd_logdet_solve — same caveat:
+    logdet is log|det| from |pivots|; callers guard definiteness."""
+    return bl_gj_solve(F, B, return_logabsdet=True)
 
 
 def small_psd_logdet_solve(F, B, jitter: float = 0.0):

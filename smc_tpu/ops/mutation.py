@@ -131,102 +131,118 @@ def make_mutation_step(
     log_half_rest = np.log((1.0 - alpha) / 2.0) if alpha < 1 else -np.inf
     bridging = old_loglike_batched is not None
 
+    # All-equal block sizes let the block loop run as ONE lax.scan body
+    # instead of n_blocks unrolled copies — the XLA program (and its
+    # compile time, the round-2 bottleneck at 222 s for the fused
+    # recursion) stops growing with n_blocks. Every production config
+    # (1 block; SW's 3x12; the linear fixture's 3x3) is equal-split;
+    # unequal splits keep the unrolled path. Bit-identical to the unroll:
+    # same key-split order, same shapes per block.
+    scan_blocks = len(set(sizes)) == 1 and n_blocks > 1
+
     def mutation_step(key, params, loglh, logprior, old_loglh,
                       mean_free, cov_free, perm, c, phi_n, phi_n1):
         n_parts = params.shape[0]
         accept_count = jnp.zeros(n_parts, jnp.float64)
 
-        # Shared per-block factorizations (mean/cov are fixed within a stage).
-        factors = []
-        for b in range(n_blocks):
-            idx_f = jax.lax.dynamic_slice(perm, (int(offsets[b]),), (sizes[b],))
+        def block_body(carry, idx_f):
+            key, params, loglh, logprior, old_loglh, accept_count = carry
+            key, kcomp, keps, ku = jax.random.split(key, 4)
+            k = idx_f.shape[0]
             idx_full = free_inds[idx_f]
             mu_b = mean_free[idx_f]
             cov_b = cov_free[idx_f][:, idx_f]
             U, sqrt_lam, inv_lam, rank, logdet = _deg_factor(cov_b)
             diag_sd = jnp.sqrt(jnp.clip(jnp.diag(cov_b), 0.0))
-            factors.append((idx_full, mu_b, U, sqrt_lam, inv_lam, rank,
-                            logdet, diag_sd))
 
-        for step in range(n_mh_steps):
-            for b in range(n_blocks):
-                key, kcomp, keps, ku = jax.random.split(key, 4)
-                (idx_full, mu_b, U, sqrt_lam, inv_lam, rank, logdet,
-                 diag_sd) = factors[b]
-                k = sizes[b]
+            theta_b = params[:, idx_full]  # [N, k] current block values
 
-                theta_b = params[:, idx_full]  # [N, k] current block values
+            # ---- mixture proposal draw (src/helpers.jl:87-100) --------
+            eps = jax.random.normal(keps, (n_parts, k), dtype=jnp.float64)
+            full_step = c * (eps * sqrt_lam) @ U.T        # c * Sigma^1/2 eps
+            diag_step = c * eps * diag_sd
+            if alpha >= 1.0:
+                prop = theta_b + full_step
+            else:
+                comp = jax.random.choice(
+                    kcomp, 3, (n_parts,),
+                    p=jnp.array([alpha, (1 - alpha) / 2, (1 - alpha) / 2]))
+                center = jnp.where((comp == 2)[:, None], mu_b, theta_b)
+                stepv = jnp.where((comp == 1)[:, None], diag_step, full_step)
+                prop = center + stepv
 
-                # ---- mixture proposal draw (src/helpers.jl:87-100) --------
-                eps = jax.random.normal(keps, (n_parts, k), dtype=jnp.float64)
-                full_step = c * (eps * sqrt_lam) @ U.T        # c * Sigma^1/2 eps
-                diag_step = c * eps * diag_sd
-                if alpha >= 1.0:
-                    prop = theta_b + full_step
-                else:
-                    comp = jax.random.choice(
-                        kcomp, 3, (n_parts,),
-                        p=jnp.array([alpha, (1 - alpha) / 2, (1 - alpha) / 2]))
-                    center = jnp.where((comp == 2)[:, None], mu_b, theta_b)
-                    stepv = jnp.where((comp == 1)[:, None], diag_step, full_step)
-                    prop = center + stepv
+            # ---- proposal-density correction q_rev - q_fwd ------------
+            # (src/helpers.jl:128-164; compute_proposal_densities returns
+            # q0 = density of the mixture *at the current point* given the
+            # proposal and q1 = at the proposal given the current point;
+            # only the theta_bar-centered component is asymmetric.)
+            if alpha >= 1.0:
+                log_q_diff = jnp.zeros(n_parts, jnp.float64)
+            else:
+                diff = prop - theta_b
+                lp_sym = _deg_logpdf(diff, U, inv_lam, rank, logdet, c)
+                lp_diag = _diag_logpdf(diff, diag_sd, c)
+                lp_bar_cur = _deg_logpdf(theta_b - mu_b, U, inv_lam, rank,
+                                         logdet, c)
+                lp_bar_prop = _deg_logpdf(prop - mu_b, U, inv_lam, rank,
+                                          logdet, c)
+                stack0 = jnp.stack([log_alpha + lp_sym,
+                                    log_half_rest + lp_diag,
+                                    log_half_rest + lp_bar_cur])
+                stack1 = jnp.stack([log_alpha + lp_sym,
+                                    log_half_rest + lp_diag,
+                                    log_half_rest + lp_bar_prop])
+                q0 = jax.scipy.special.logsumexp(stack0, axis=0)
+                q1 = jax.scipy.special.logsumexp(stack1, axis=0)
+                # Inf/Inf guard (src/helpers.jl:160-162)
+                both_inf = jnp.isposinf(q0) & jnp.isposinf(q1)
+                q0 = jnp.where(both_inf, 0.0, q0)
+                log_q_diff = q0 - q1
 
-                # ---- proposal-density correction q_rev - q_fwd ------------
-                # (src/helpers.jl:128-164; compute_proposal_densities returns
-                # q0 = density of the mixture *at the current point* given the
-                # proposal and q1 = at the proposal given the current point;
-                # only the theta_bar-centered component is asymmetric.)
-                if alpha >= 1.0:
-                    log_q_diff = jnp.zeros(n_parts, jnp.float64)
-                else:
-                    diff = prop - theta_b
-                    lp_sym = _deg_logpdf(diff, U, inv_lam, rank, logdet, c)
-                    lp_diag = _diag_logpdf(diff, diag_sd, c)
-                    lp_bar_cur = _deg_logpdf(theta_b - mu_b, U, inv_lam, rank,
-                                             logdet, c)
-                    lp_bar_prop = _deg_logpdf(prop - mu_b, U, inv_lam, rank,
-                                              logdet, c)
-                    stack0 = jnp.stack([log_alpha + lp_sym,
-                                        log_half_rest + lp_diag,
-                                        log_half_rest + lp_bar_cur])
-                    stack1 = jnp.stack([log_alpha + lp_sym,
-                                        log_half_rest + lp_diag,
-                                        log_half_rest + lp_bar_prop])
-                    q0 = jax.scipy.special.logsumexp(stack0, axis=0)
-                    q1 = jax.scipy.special.logsumexp(stack1, axis=0)
-                    # Inf/Inf guard (src/helpers.jl:160-162)
-                    both_inf = jnp.isposinf(q0) & jnp.isposinf(q1)
-                    q0 = jnp.where(both_inf, 0.0, q0)
-                    log_q_diff = q0 - q1
+            # ---- evaluate prior & likelihood of proposals -------------
+            params_new = params.at[:, idx_full].set(prop)
+            prior_new = space.log_prior(params_new)
+            like_new = loglike_batched(params_new)
+            # ANY non-finite loglh (nan OR +inf) -> -inf: a +inf would be
+            # accepted w.p. 1 and blow up the next correction step
+            like_new = scrub_loglh(like_new)
+            # like_new == -inf forces prior_new = -inf (src/mutation.jl:102-104)
+            prior_new = jnp.where(jnp.isneginf(like_new), -jnp.inf, prior_new)
+            if bridging:
+                like_old_new = scrub_loglh(old_loglike_batched(params_new))
+            else:
+                like_old_new = jnp.zeros(n_parts, jnp.float64)
 
-                # ---- evaluate prior & likelihood of proposals -------------
-                params_new = params.at[:, idx_full].set(prop)
-                prior_new = space.log_prior(params_new)
-                like_new = loglike_batched(params_new)
-                # ANY non-finite loglh (nan OR +inf) -> -inf: a +inf would be
-                # accepted w.p. 1 and blow up the next correction step
-                like_new = scrub_loglh(like_new)
-                # like_new == -inf forces prior_new = -inf (src/mutation.jl:102-104)
-                prior_new = jnp.where(jnp.isneginf(like_new), -jnp.inf, prior_new)
-                if bridging:
-                    like_old_new = scrub_loglh(old_loglike_batched(params_new))
-                else:
-                    like_old_new = jnp.zeros(n_parts, jnp.float64)
+            # ---- accept/reject (src/mutation.jl:123-133) --------------
+            log_eta = (phi_n * (like_new - loglh)
+                       + (1.0 - phi_n) * (like_old_new - old_loglh)
+                       + (prior_new - logprior)
+                       + log_q_diff)
+            log_u = jnp.log(jax.random.uniform(ku, (n_parts,),
+                                               dtype=jnp.float64))
+            acc = log_u < log_eta  # nan log_eta -> reject, as in reference
 
-                # ---- accept/reject (src/mutation.jl:123-133) --------------
-                log_eta = (phi_n * (like_new - loglh)
-                           + (1.0 - phi_n) * (like_old_new - old_loglh)
-                           + (prior_new - logprior)
-                           + log_q_diff)
-                log_u = jnp.log(jax.random.uniform(ku, (n_parts,),
-                                                   dtype=jnp.float64))
-                acc = log_u < log_eta  # nan log_eta -> reject, as in reference
+            params = jnp.where(acc[:, None], params_new, params)
+            loglh = jnp.where(acc, like_new, loglh)
+            logprior = jnp.where(acc, prior_new, logprior)
+            old_loglh = jnp.where(acc, like_old_new, old_loglh)
+            accept_count = accept_count + acc * float(k)
 
-                params = jnp.where(acc[:, None], params_new, params)
-                loglh = jnp.where(acc, like_new, loglh)
-                logprior = jnp.where(acc, prior_new, logprior)
-                old_loglh = jnp.where(acc, like_old_new, old_loglh)
-                accept_count = accept_count + acc * float(k)
+            return (key, params, loglh, logprior, old_loglh,
+                    accept_count), None
+
+        carry = (key, params, loglh, logprior, old_loglh, accept_count)
+        if scan_blocks:
+            idx_stack = perm[:sizes[0] * n_blocks].reshape(n_blocks, sizes[0])
+            for step in range(n_mh_steps):
+                carry, _ = jax.lax.scan(block_body, carry, idx_stack)
+        else:
+            for step in range(n_mh_steps):
+                for b in range(n_blocks):
+                    idx_f = jax.lax.dynamic_slice(
+                        perm, (int(offsets[b]),), (sizes[b],))
+                    carry, _ = block_body(carry, idx_f)
+        (key, params, loglh, logprior, old_loglh, accept_count) = carry
 
         # Divided by n_free only — NOT by n_mh_steps — matching the reference
         # (src/mutation.jl:136), where accept can exceed 1 for n_mh_steps > 1.

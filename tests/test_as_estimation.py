@@ -18,7 +18,8 @@ from smc_tpu.models.as_dsge import (an_schorfheide, an_schorfheide_parameters,
 def result():
     model = an_schorfheide()
     data = generate_as_data(T=80, seed=1793)
-    return smc(model.loglike, an_schorfheide_parameters(), data,
+    return smc(model.loglike_batched, an_schorfheide_parameters(), data,
+               batched=True,
                n_parts=400, n_phi=100, lam=2.0,
                resampling_method="systematic", verbose="none", seed=42)
 

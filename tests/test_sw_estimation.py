@@ -23,7 +23,7 @@ from smc_tpu.models.sw_dsge import (smets_wouters, sw_parameters,
 def test_sw_posterior_covers_dgp():
     model = smets_wouters()
     data = generate_sw_data(T=156, seed=1793)
-    res = smc(model.loglike, sw_parameters(), data,
+    res = smc(model.loglike_batched, sw_parameters(), data, batched=True,
               n_parts=1024, n_phi=80, lam=2.1, n_blocks=3, alpha=0.9,
               resampling_method="systematic", verbose="none", seed=42)
 
