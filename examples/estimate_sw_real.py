@@ -43,19 +43,38 @@ SW2007_POSTERIOR_MEAN = np.array([
 
 
 def main():
-    n_parts = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    n_phi = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    args = [a for a in sys.argv[1:] if a.isdigit()]
+    n_parts = int(args[0]) if len(args) > 0 else 2048
+    n_phi = int(args[1]) if len(args) > 1 else 100
+    smoke = bool(os.environ.get("SMC_TPU_SMOKE"))
+    if smoke:
+        n_parts, n_phi = 64, 8
+
+    if not os.path.exists(
+            "/root/reference/examples/data/sw_orig_smc.h5"):
+        print("reference US dataset not mounted; nothing to estimate")
+        print("log marginal data density: n/a")
+        return
 
     model = smets_wouters()
     data = load_reference_sw_data()
     print(f"US data: {data.shape[0]} observables x {data.shape[1]} quarters",
           flush=True)
 
+    # checkpoint every 10 stages: the remote-TPU tunnel (and this 2-core
+    # box) can wedge mid-run; continue with SW_REAL_CONTINUE=1
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "sw_real_cloud.npz")
     t0 = time.time()
     res = smc(model.loglike_batched, model.parameters, data, batched=True,
               n_parts=n_parts, n_phi=n_phi, n_blocks=3, n_mh_steps=1,
               lam=2.1, c=0.4, alpha=0.9, resampling_method="multinomial",
-              verbose="low", seed=0, store_weight_matrices=False)
+              verbose="low", seed=0, store_weight_matrices=False,
+              savepath=None if smoke else ckpt,
+              save_intermediate=not smoke,
+              intermediate_stage_increment=10,
+              continue_intermediate=bool(os.environ.get("SW_REAL_CONTINUE")),
+              loadpath=ckpt if os.environ.get("SW_REAL_CONTINUE") else "")
     wall = time.time() - t0
 
     mu = res.posterior_mean()
@@ -68,8 +87,8 @@ def main():
         print(f"{name:11s} {mu[i]:9.3f} {sd[i]:8.3f} "
               f"{SW2007_POSTERIOR_MEAN[i]:7.2f} {z[i]:6.1f}", flush=True)
     print(f"\nwall {wall:.0f}s  stages {len(res.cloud.ESS) - 1}  "
-          f"log-MDD {res.log_mdd:.1f}  resamples {res.cloud.resamples}",
-          flush=True)
+          f"resamples {res.cloud.resamples}", flush=True)
+    print(f"log marginal data density: {res.log_mdd:.3f}", flush=True)
 
     out = {
         "metric": "sw_real_estimation",
@@ -85,6 +104,8 @@ def main():
                         for n, v in zip(PARAM_NAMES, z)},
         "median_abs_z": round(float(np.median(np.abs(z))), 2),
     }
+    if smoke:
+        return  # never overwrite real results with smoke-config output
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "benchmarks", "results_sw_real.json")
     with open(path, "w") as f:

@@ -15,7 +15,7 @@ import pytest
 
 EXAMPLES = ["estimate_regression.py", "estimate_linear.py",
             "estimate_capm.py", "estimate_as_dsge.py",
-            "estimate_sw_dsge.py"]
+            "estimate_sw_dsge.py", "estimate_sw_real.py"]
 
 _PRELUDE = (
     "import jax;"
