@@ -28,12 +28,15 @@ import jax.numpy as jnp
 jax.config.update("jax_enable_x64", True)
 try:
     import os
-    # Persistent compile cache ONLY on local backends: enabling it on the
+    # Persistent compile cache only where it works: enabling it on the
     # remote-TPU tunnel ("axon") hangs the client inside the very first
     # compile RPC (measured round 3: even a 512x512 matmul never returns;
-    # the main thread blocks on the tunnel socket). This was the mechanism
-    # behind round 2's UNAVAILABLE AS-bench failure.
-    if jax.default_backend() not in ("tpu",):
+    # the main thread blocks on the tunnel socket). Detect the tunnel by
+    # its platform env var rather than jax.default_backend() — the latter
+    # both disables the cache on healthy local TPUs and forces backend
+    # initialization at import time (round-3 ADVICE.md).
+    _on_axon_tunnel = "axon" in os.environ.get("JAX_PLATFORMS", "").lower()
+    if not _on_axon_tunnel:
         os.makedirs("/root/repo/.jax_cache", exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

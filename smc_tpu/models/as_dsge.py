@@ -139,9 +139,12 @@ def _shock_cov(theta):
     return jnp.diag(sig * sig)
 
 
-def an_schorfheide() -> LinearDSGE:
+def an_schorfheide(likelihood_backend: str = "xla") -> LinearDSGE:
+    """likelihood_backend="pallas" selects the fused VMEM-resident TPU
+    kernels (ops/pallas_dsge.py) for loglike_batched."""
     return LinearDSGE(an_schorfheide_parameters(), _system, _measurement,
-                      _N_SHOCK, _shock_cov)
+                      _N_SHOCK, _shock_cov,
+                      likelihood_backend=likelihood_backend)
 
 
 def generate_as_data(T: int = 80, seed: int = 1793,

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from smc_tpu.ops.linalg import (gj_solve, gj_inv, small_psd_logdet_solve,
                                 bl_matmul, bl_transpose, bl_gj_solve,
-                                bl_psd_logdet_solve)
+                                bl_psd_fast_solve)
 
 _LOG_2PI = 1.8378770664093453
 
@@ -51,55 +51,6 @@ def _bl_matvec(A, x):
 
 def _bl_sym(A):
     return 0.5 * (A + bl_transpose(A))
-
-
-# ---------------------------------------------------------------------------
-# Mixed-precision linear algebra
-#
-# TPU XLA implements LU decomposition (and lu_solve's triangular solves) in
-# f32 only ("Only F32 and C64 types are implemented in LuDecomposition"),
-# while matmuls, cholesky, eigh, and qr all support f64. The classic
-# mixed-precision recipe recovers (near-)f64 solves from the f32 factorization:
-# factorize in f32, then iteratively refine with residuals computed in f64.
-# Two refinement sweeps give ~1e-12 relative accuracy for cond(A) <~ 1e5 —
-# and the f32 factorization is the *native fast path* on the hardware, so
-# this is faster than an emulated f64 LU would be. Used uniformly on every
-# backend so CPU and TPU runs share numerics.
-# ---------------------------------------------------------------------------
-
-
-def mp_solve(A, B, n_refine: int = 2):
-    """Solve A X = B in (near-)f64 via f32 LU + f64 iterative refinement."""
-    A = jnp.asarray(A, jnp.float64)
-    B = jnp.asarray(B, jnp.float64)
-    lu, piv = jax.scipy.linalg.lu_factor(A.astype(jnp.float32))
-
-    def f32_solve(R):
-        return jax.scipy.linalg.lu_solve(
-            (lu, piv), R.astype(jnp.float32)).astype(jnp.float64)
-
-    X = f32_solve(B)
-    for _ in range(n_refine):
-        X = X + f32_solve(B - A @ X)
-    return X
-
-
-def mp_psd_solve(F, B, n_refine: int = 2):
-    """Solve F X = B for symmetric positive-definite F via f32 Cholesky +
-    f64 refinement (TPU supports f64 cholesky but not the triangular solves
-    behind cho_solve)."""
-    F = jnp.asarray(F, jnp.float64)
-    B = jnp.asarray(B, jnp.float64)
-    L32 = jnp.linalg.cholesky(F.astype(jnp.float32))
-
-    def f32_solve(R):
-        return jax.scipy.linalg.cho_solve(
-            (L32, True), R.astype(jnp.float32)).astype(jnp.float64)
-
-    X = f32_solve(B)
-    for _ in range(n_refine):
-        X = X + f32_solve(B - F @ X)
-    return X
 
 
 # ---------------------------------------------------------------------------
@@ -400,7 +351,14 @@ def bl_lyapunov_doubling(T, Q, n_iter: int = 30):
 def bl_kalman_loglike_chandrasekhar(T_mat, R_mat, Q, Z, d_obs, H, data):
     """Batch-last Chandrasekhar Kalman likelihood: system matrices [.,.,N],
     d_obs [n_o,N], shared data [n_o,T] -> loglh [N]. Identical recursions
-    and divergence guards as kalman_loglike_chandrasekhar."""
+    and divergence guards as kalman_loglike_chandrasekhar.
+
+    The innovation-covariance solves use the pivot-free PSD fast path
+    (ops/linalg.py bl_psd_fast_solve: cofactor closed form at n_obs=3,
+    unrolled Cholesky otherwise) — the GJ pivot chain these replace was the
+    measured dominant non-roofline cost of the scan (round-3 roofline,
+    benchmarks/README.md). Non-PD F yields nan/-inf logdet which the
+    existing totality guards map to -inf, same rejection discipline."""
     n_s = T_mat.shape[0]
     n_o = Z.shape[0]
     nb = T_mat.shape[-1]
@@ -411,7 +369,8 @@ def bl_kalman_loglike_chandrasekhar(T_mat, R_mat, Q, Z, d_obs, H, data):
     K1 = bl_matmul(T_mat, bl_matmul(P0, bl_transpose(Z)))
     eye_o = jnp.broadcast_to(jnp.eye(n_o, dtype=F1.dtype)[:, :, None],
                              (n_o, n_o, nb))
-    M1 = _bl_sym(-bl_gj_solve(F1, eye_o))
+    M1_neg, _ = bl_psd_fast_solve(F1, eye_o)
+    M1 = _bl_sym(-M1_neg)
     s0 = jnp.zeros((n_s, nb), F1.dtype)
 
     ys = jnp.asarray(data).T  # [T, n_o] shared across the batch
@@ -421,7 +380,7 @@ def bl_kalman_loglike_chandrasekhar(T_mat, R_mat, Q, Z, d_obs, H, data):
         s, K, F, W, M, bad = carry
         v = y[:, None] - d_obs - _bl_matvec(Z, s)          # [n_o, N]
         rhs = jnp.concatenate([v[:, None, :], bl_matmul(Z, W)], axis=1)
-        sol, logdet = bl_psd_logdet_solve(F, rhs)
+        sol, logdet = bl_psd_fast_solve(F, rhs)
         Finv_v = sol[:, 0, :]
         Finv_ZW = sol[:, 1:, :]
         quad = jnp.sum(v * Finv_v, axis=0)
@@ -434,7 +393,7 @@ def bl_kalman_loglike_chandrasekhar(T_mat, R_mat, Q, Z, d_obs, H, data):
         F_new = _bl_sym(F + bl_matmul(Z, WMWtZt))
         K_new = K + bl_matmul(T_mat, WMWtZt)
         W_new = bl_matmul(T_mat, W) - bl_matmul(K, Finv_ZW)
-        Fnew_inv_ZW, _ = bl_psd_logdet_solve(F_new, ZW)
+        Fnew_inv_ZW, _ = bl_psd_fast_solve(F_new, ZW)
         M_new = _bl_sym(M - bl_matmul(MWtZt, bl_matmul(Fnew_inv_ZW, M)))
         diag_F = jnp.diagonal(F_new, axis1=0, axis2=1)     # [N, n_o]
         bad = (bad
@@ -463,7 +422,8 @@ class LinearDSGE:
 
     def __init__(self, parameters: List, system_fn: Callable,
                  measurement_fn: Callable, n_shocks: int,
-                 shock_cov_fn: Callable, use_chand_recursion: bool = True):
+                 shock_cov_fn: Callable, use_chand_recursion: bool = True,
+                 likelihood_backend: str = "xla"):
         self.parameters = parameters
         self.system_fn = system_fn
         self.measurement_fn = measurement_fn
@@ -473,6 +433,12 @@ class LinearDSGE:
         # (examples/dsge_models/small_dsge_model.jl:37-43); valid here
         # because the system is time-invariant with stationary P0.
         self.use_chand_recursion = use_chand_recursion
+        # "xla" = the batch-last bl_* path below; "pallas" = the fused
+        # VMEM-resident TPU kernels (ops/pallas_dsge.py) — requires
+        # n_obs == 3 and small n_state, e.g. An-Schorfheide.
+        if likelihood_backend not in ("xla", "pallas"):
+            raise ValueError("likelihood_backend must be 'xla' or 'pallas'")
+        self.likelihood_backend = likelihood_backend
 
     def loglike(self, theta, data):
         A, B, C, D = self.system_fn(theta)
@@ -492,16 +458,20 @@ class LinearDSGE:
         batched=True. Same math, same -inf totality discipline; agrees
         with the vmapped path to ~1e-10 (tests/test_dsge.py)."""
         thetas = jnp.asarray(thetas, jnp.float64)
+        if not self.use_chand_recursion:
+            # plain-filter configs keep the vmapped path (accuracy parity
+            # is what matters there, not throughput)
+            return jax.vmap(lambda th: self.loglike(th, data))(thetas)
         A, B, C, D = jax.vmap(self.system_fn)(thetas)       # [N, r, c]
         Q = jax.vmap(self.shock_cov_fn)(thetas)
         d_obs, Z, H = jax.vmap(self.measurement_fn)(thetas)
         bl = lambda x: jnp.moveaxis(x, 0, -1)
+        if self.likelihood_backend == "pallas":
+            from smc_tpu.ops.pallas_dsge import pallas_dsge_loglike
+            return pallas_dsge_loglike(
+                bl(A), bl(B), bl(C), bl(D), bl(Q), bl(Z),
+                jnp.moveaxis(d_obs, 0, -1), bl(H), jnp.asarray(data))
         X, M, ok = bl_solve_linear_re(bl(A), bl(B), bl(C), bl(D))
-        if not self.use_chand_recursion:
-            # plain-filter configs keep the vmapped path (accuracy parity
-            # is what matters there, not throughput)
-            ll = jax.vmap(lambda th: self.loglike(th, data))(thetas)
-            return ll
         ll = bl_kalman_loglike_chandrasekhar(
             X, M, bl(Q), bl(Z), jnp.moveaxis(d_obs, 0, -1), bl(H),
             jnp.asarray(data))

@@ -47,11 +47,14 @@ def gj_solve(A, B, return_logabsdet: bool = False):
         # (measured: the 16k-particle An-Schorfheide Chandrasekhar scan
         # spent ~10 s in these swaps; mask-select removes the gather
         # entirely at O(n) extra elementwise work).
-        onehot_p = (rows == p[..., None]).astype(M.dtype)   # [..., n]
-        row_p = jnp.sum(M * onehot_p[..., None], axis=-2)   # [..., n+m]
+        onehot_p = (rows == p[..., None])                   # [..., n]
+        # select-then-reduce (not multiply): 0 * inf would turn a non-finite
+        # entry anywhere in the column into NaN for the whole batch element
+        # (round-3 ADVICE.md); where keeps row p exactly.
+        row_p = jnp.sum(jnp.where(onehot_p[..., None], M, 0.0), axis=-2)
         row_k = M[..., k, :]
         is_k = (rows == k)[..., None]                       # [n, 1] mask
-        is_p = (onehot_p > 0)[..., None]
+        is_p = onehot_p[..., None]
         M = jnp.where(is_k, row_p[..., None, :],
                       jnp.where(is_p, row_k[..., None, :], M))
 
@@ -130,11 +133,12 @@ def bl_gj_solve(A, B, return_logabsdet: bool = False):
         col = jnp.abs(M[:, k, :])                          # [n, N]
         col = jnp.where(rows[:, None] >= k, col, -jnp.inf)
         p = jnp.argmax(col, axis=0)                        # [N]
-        onehot_p = (rows[:, None] == p[None, :]).astype(M.dtype)  # [n, N]
-        row_p = jnp.sum(M * onehot_p[:, None, :], axis=0)  # [n+m, N]
+        onehot_p = (rows[:, None] == p[None, :])           # [n, N]
+        # select-then-reduce, not multiply-sum: see gj_solve (0 * inf -> NaN)
+        row_p = jnp.sum(jnp.where(onehot_p[:, None, :], M, 0.0), axis=0)
         row_k = M[k]                                       # [n+m, N]
         is_k = (rows == k)[:, None, None]
-        is_p = (onehot_p > 0)[:, None, :]
+        is_p = onehot_p[:, None, :]
         M = jnp.where(is_k, row_p[None],
                       jnp.where(is_p, row_k[None], M))
 
@@ -155,6 +159,98 @@ def bl_psd_logdet_solve(F, B):
     """(X, logdet) batch-last twin of small_psd_logdet_solve — same caveat:
     logdet is log|det| from |pivots|; callers guard definiteness."""
     return bl_gj_solve(F, B, return_logabsdet=True)
+
+
+# ---------------------------------------------------------------------------
+# Pivot-free PSD fast paths.
+#
+# The Gauss-Jordan pivot chain (argmax over the sublane axis + one-hot
+# compare + two where-selects per elimination step) was measured as the
+# dominant non-roofline cost of the batched Chandrasekhar Kalman scan
+# (benchmarks/README.md round-3 roofline: "GJ pivot selection ... serialize
+# the 8-deep sublane axis"). For symmetric positive-definite systems —
+# every solve inside the Kalman step — pivoting is unnecessary:
+#   * n == 3 (An-Schorfheide n_obs): closed-form cofactor/adjugate solve.
+#     9 cofactors + det as pure FMAs and ONE reciprocal per particle —
+#     f64 division is emulated on TPU, so one division instead of n is a
+#     real win, and there is no argmax/select at all.
+#   * general n (Smets-Wouters n_obs=7): statically unrolled Cholesky +
+#     unrolled forward/back substitution. Unpivoted is numerically CORRECT
+#     for PSD matrices (growth factor 1); n sqrts + n reciprocals replace
+#     the pivot chains and n*(n+m) division rows of GJ.
+# Non-PSD inputs surface as log(det<=0) = nan/-inf or sqrt(neg) = nan,
+# which the callers' totality guards already map to -inf loglh — the same
+# rejection discipline as the GJ path's quad/diag/trace witnesses.
+# ---------------------------------------------------------------------------
+
+
+def bl_psd_cofactor_solve3(F, B):
+    """(X, logdet) for symmetric PD F [3,3,N], B [3,m,N] by the adjugate:
+    X = adj(F) B / det(F). Exactly one division per particle; logdet =
+    log(det) is nan for det <= 0 (caller guards catch it)."""
+    a, b, c = F[0, 0], F[0, 1], F[0, 2]
+    d, e = F[1, 1], F[1, 2]
+    f = F[2, 2]
+    # cofactors of the symmetric matrix (adjugate is symmetric)
+    C00 = d * f - e * e
+    C01 = c * e - b * f
+    C02 = b * e - c * d
+    C11 = a * f - c * c
+    C12 = b * c - a * e
+    C22 = a * d - b * b
+    det = a * C00 + b * C01 + c * C02
+    inv_det = 1.0 / det
+    logdet = jnp.log(det)
+    B0, B1, B2 = B[0], B[1], B[2]                      # [m, N]
+    X0 = (C00 * B0 + C01 * B1 + C02 * B2) * inv_det
+    X1 = (C01 * B0 + C11 * B1 + C12 * B2) * inv_det
+    X2 = (C02 * B0 + C12 * B1 + C22 * B2) * inv_det
+    return jnp.stack([X0, X1, X2], axis=0), logdet
+
+
+def bl_chol_solve(F, B):
+    """(X, logdet) for symmetric PD F [n,n,N], B [n,m,N] by statically
+    unrolled Cholesky + substitution. n must be small and static."""
+    n = F.shape[0]
+    L = [[None] * n for _ in range(n)]
+    inv_diag = [None] * n
+    logdet = 0.0
+    for j in range(n):
+        s = F[j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        Ljj = jnp.sqrt(s)
+        inv_diag[j] = 1.0 / Ljj
+        logdet = logdet + jnp.log(s)
+        L[j][j] = Ljj
+        for i in range(j + 1, n):
+            t = F[i, j]
+            for k in range(j):
+                t = t - L[i][k] * L[j][k]
+            L[i][j] = t * inv_diag[j]
+    # forward: L y = B   (y rows are [m, N])
+    y = [None] * n
+    for i in range(n):
+        t = B[i]
+        for k in range(i):
+            t = t - L[i][k] * y[k]
+        y[i] = t * inv_diag[i]
+    # backward: L' x = y
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        t = y[i]
+        for k in range(i + 1, n):
+            t = t - L[k][i] * x[k]
+        x[i] = t * inv_diag[i]
+    return jnp.stack(x, axis=0), logdet
+
+
+def bl_psd_fast_solve(F, B):
+    """Pivot-free PSD (X, logdet): cofactor closed form at n=3, unrolled
+    Cholesky otherwise. Drop-in for bl_psd_logdet_solve on PSD systems."""
+    if F.shape[0] == 3:
+        return bl_psd_cofactor_solve3(F, B)
+    return bl_chol_solve(F, B)
 
 
 def small_psd_logdet_solve(F, B, jitter: float = 0.0):

@@ -106,8 +106,9 @@ def make_superstep(space, loglike_batched, n_blocks, n_mh_steps, alpha,
         -> (params, loglh, logprior, old_loglh, weights, accept,
             inc_w, W_col, ess, did_resample, accept_mean, mdd_inc)
 
-    The resample decision is dataflow (a select between resampled and
-    identity indices), so the program is trace-once regardless of ESS.
+    The resample decision is a `lax.cond` branch: the cumsum + searchsorted
+    + row gathers only execute on stages whose ESS actually triggers a
+    resample, and the program is still trace-once regardless of ESS.
     """
     stage_core = make_stage_core(
         space, loglike_batched, n_blocks, n_mh_steps, alpha,
@@ -378,6 +379,12 @@ def smc(loglikelihood: Callable,
 
     `run_csminwel` is accepted for parity but, like the reference at this
     version (SURVEY.md §2.7 note), posterior-mode polish is not run.
+
+    `resampling_method="metropolis"` uses the sort-free Metropolis
+    resampler with its chain length chosen per-stage ON DEVICE from the
+    Doeblin bound B = ceil(kappa ln(1/eps)), eps=0.01 (ops/resample.py) —
+    the total-variation bias is bounded at whatever weight skew the
+    resample stage actually has.
 
     Parity-only kwargs: `parallel` (always data-parallel here; pass `mesh`
     to span devices), `testing` (suppresses final disk writes, reference
