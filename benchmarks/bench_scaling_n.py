@@ -1,0 +1,104 @@
+"""Large-N scaling envelope on one chip (round-3 VERDICT missing #5).
+
+The TPU pitch of this framework is massive particle counts — the reference
+caps at 12k particles over 40 Distributed.jl workers
+(reference examples/dsge_models/dsge_model.jl:27-35). This script maps, on
+a single chip: superstep ms/stage and mutations/s as N doubles, for the
+linear fixture (32k -> 1M) and the An-Schorfheide DSGE (16k -> 256k),
+until OOM — emitting one JSON line per point so a wedged compile loses
+nothing (benchmarks/README.md measurement model).
+
+Usage: python benchmarks/bench_scaling_n.py [linear|as] [max_n]
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_enable_x64", True)
+
+from smc_tpu.params import ParamSpace
+from smc_tpu.smc import make_superstep
+
+
+def emit(**kw):
+    print(json.dumps({"metric": "n_scaling",
+                      "device": str(jax.devices()[0]), **kw}), flush=True)
+
+
+def bench_superstep(space, llb, n, n_blocks, alpha, reps=3):
+    ss = make_superstep(space, llb, n_blocks, 1, alpha, "systematic",
+                        0.5 * n)
+    key = jax.random.PRNGKey(0)
+    params = space.sample_prior(key, n)
+    loglh = llb(params)
+    logprior = space.log_prior(params)
+    zeros = jnp.zeros(n, jnp.float64)
+    ones = jnp.ones(n, jnp.float64)
+    args = (key, params, loglh, logprior, zeros, ones,
+            jnp.float64(0.1), jnp.float64(0.05), jnp.float64(0.5))
+    t0 = time.perf_counter()
+    out = ss(*args)
+    jax.block_until_ready(out)
+    t_compile = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = ss(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best, t_compile
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "linear"
+    max_n = int(sys.argv[2]) if len(sys.argv) > 2 else (
+        1_048_576 if which == "linear" else 262_144)
+
+    if which == "linear":
+        from smc_tpu.models.linear import (linear_parameters,
+                                           make_linear_loglike,
+                                           generate_linear_data)
+        data, X = generate_linear_data(seed=1793)
+        space = ParamSpace(linear_parameters())
+        ll = make_linear_loglike(X)
+        llb = jax.vmap(lambda th: ll(th, data))
+        n0, n_blocks, alpha = 32_768, 3, 0.9
+    else:
+        from smc_tpu.models.as_dsge import (an_schorfheide,
+                                            an_schorfheide_parameters,
+                                            generate_as_data)
+        backend = _os.environ.get("AS_BACKEND", "xla")
+        model = an_schorfheide(likelihood_backend=backend)
+        as_data = generate_as_data(T=80, seed=1793)
+        space = ParamSpace(an_schorfheide_parameters())
+        llb = lambda th: model.loglike_batched(th, as_data)
+        n0, n_blocks, alpha = 16_384, 1, 0.9
+
+    n = n0
+    while n <= max_n:
+        try:
+            best, tc = bench_superstep(space, llb, n, n_blocks, alpha)
+            emit(model=which, n_parts=n, stage_ms=round(best * 1e3, 2),
+                 mutations_per_s=round(n / best, 1),
+                 compile_s=round(tc, 1))
+        except Exception as e:
+            msg = repr(e)
+            oom = "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower()
+            emit(model=which, n_parts=n, error=msg[:200], oom=oom)
+            if oom:
+                break
+        n *= 2
+
+
+if __name__ == "__main__":
+    main()
