@@ -107,12 +107,24 @@ def main():
     ll_p = np.asarray(kf_p(Xx, Mx, Qb, Zb, db, Hb, data_dev))
     ll_x = np.asarray(kf_x(Xx, Mx, Qb, Zb, db, Hb, data_dev))
     finite = np.isfinite(ll_p) & np.isfinite(ll_x)
-    rel = float(np.max(np.abs(ll_p[finite] - ll_x[finite])
-                       / np.abs(ll_x[finite]))) if finite.any() else np.nan
+    # Parity by posterior relevance band (measured round 4, 16k draws):
+    # lanes within 50 nats of the max — the ones carrying all posterior
+    # weight — agree to ~4e-13 relative; the error grows only deep in the
+    # rejected tail (ll ~ -1e3..-1e11 below max, weight exactly 0), where
+    # quasi-divergent filter states make ANY two arithmetics produce
+    # different garbage.
+    mx = np.max(ll_x[finite])
+    bands = {}
+    for band in (50.0, 1e4):
+        m = finite & (ll_x > mx - band)
+        bands[f"max_rel_within_{int(band)}_nats"] = (
+            float(np.max(np.abs(ll_p[m] - ll_x[m]) / np.abs(ll_x[m])))
+            if m.any() else np.nan)
+        bands[f"n_within_{int(band)}_nats"] = int(m.sum())
     emit("kalman_parity", 0.0, n,
          finite_agree=round(float(np.mean(np.isfinite(ll_p)
                                           == np.isfinite(ll_x))), 5),
-         max_rel_ll_err=rel, n_finite=int(finite.sum()))
+         n_finite=int(finite.sum()), **bands)
 
     # ---- full likelihood + superstep with the pallas backend --------------
     model_p = an_schorfheide(likelihood_backend="pallas")

@@ -278,7 +278,10 @@ def _re_kernel(n_s, n_shock, n_iter, tol,
         A2_n = mat_neg_df(mat_mul_df(A2, SA2))
         return _pack([A0_n, A1_n, A2_n, Ah_n])
 
-    flat = jax.lax.fori_loop(0, n_iter, cr_body, _pack([A, B, C, B]))
+    # i32 loop bounds: under jax_enable_x64 a Python-int bound makes the
+    # induction variable i64, which Mosaic cannot legalize
+    flat = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_iter), cr_body,
+                             _pack([A, B, C, B]))
     (_, _, _, Ah), _ = _unpack(flat, shapes)
 
     X = mat_neg_df(gj_solve_df(Ah, A))
@@ -426,15 +429,20 @@ def _kalman_kernel(n_s, n_o, T, lyap_iter,
         quad = df_add(quad, quad_t)
 
         # det product with exponent renormalization (one log at the end,
-        # done in XLA f64 outside the kernel)
-        bad = bad | (det[0] <= 0.0)
-        det_safe = _where_df(bad, (jnp.full(tshape, 1.0, jnp.float32), fzero),
+        # done in XLA f64 outside the kernel). bad and e_tot are carried as
+        # f32 vectors: Mosaic cannot legalize an scf.for whose carry holds
+        # i1/i32 vectors (measured on the v5e; exponent sums stay < 2^24 so
+        # f32 holds them exactly).
+        bad = jnp.maximum(bad, (det[0] <= 0.0).astype(jnp.float32))
+        bad_b = bad > 0.5
+        det_safe = _where_df(bad_b,
+                             (jnp.full(tshape, 1.0, jnp.float32), fzero),
                              det)
         scale, e = _exponent_extract(det_safe[0])
         prod = df_mul(prod, (det_safe[0] * scale, det_safe[1] * scale))
         scale2, e2 = _exponent_extract(prod[0])
         prod = (prod[0] * scale2, prod[1] * scale2)
-        e_tot = e_tot + e + e2
+        e_tot = e_tot + (e + e2).astype(jnp.float32)
 
         # state update: s' = T s + K F^{-1} v
         Ts = mat_mul_df(Tm, [[si] for si in s])
@@ -454,23 +462,24 @@ def _kalman_kernel(n_s, n_o, T, lyap_iter,
         for o in range(1, n_o):
             diag_bad = diag_bad | (F_new[o][o][0] <= 0.0)
         tr_new = df_add(df_add(F_new[0][0], F_new[1][1]), F_new[2][2])
-        bad = bad | (quad_t[0] < 0.0) | diag_bad | (tr_new[0] > tr_cap)
+        bad = jnp.maximum(
+            bad, ((quad_t[0] < 0.0) | diag_bad
+                  | (tr_new[0] > tr_cap)).astype(jnp.float32))
 
         return _pack([s_new, K_new, F_new, W_new, M_new]) + (
             prod[0], prod[1], e_tot, quad[0], quad[1], bad)
 
     carry0 = _pack([[[si] for si in s0], K1, F1, K1, M1]) + (
         jnp.full(tshape, 1.0, jnp.float32), fzero,
-        jnp.zeros(tshape, jnp.int32), fzero, fzero,
-        jnp.zeros(tshape, jnp.bool_))
-    carry = jax.lax.fori_loop(0, T, step, carry0)
+        fzero, fzero, fzero, fzero)
+    carry = jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), step, carry0)
 
     prod_hi_ref[0] = carry[-6]
     prod_lo_ref[0] = carry[-5]
     etot_ref[0] = carry[-4]
     quad_hi_ref[0] = carry[-3]
     quad_lo_ref[0] = carry[-2]
-    bad_ref[0] = carry[-1].astype(jnp.float32)
+    bad_ref[0] = carry[-1]
 
 
 # ---------------------------------------------------------------------------
@@ -494,12 +503,17 @@ def _pad_batch(x, n_pad):
 
 
 def _mat_spec(r, c):
-    return pl.BlockSpec((r, c, 1, *TILE), lambda g: (0, 0, g, 0, 0),
+    # index_map constants as CONCRETE i32 (np, not jnp — index maps may not
+    # capture tracers): under jax_enable_x64 plain Python zeros trace as
+    # i64, which Mosaic cannot legalize (func.return i64 failure)
+    _z = np.int32(0)
+    return pl.BlockSpec((r, c, 1, *TILE), lambda g: (_z, _z, g, _z, _z),
                         memory_space=pltpu.VMEM)
 
 
 def _out_spec():
-    return pl.BlockSpec((1, *TILE), lambda g: (g, 0, 0),
+    _z = np.int32(0)
+    return pl.BlockSpec((1, *TILE), lambda g: (g, _z, _z),
                         memory_space=pltpu.VMEM)
 
 
@@ -586,10 +600,12 @@ def pallas_kalman_chandrasekhar(T_mat, R_mat, Q, Z, d_obs, H, data,
 
     kernel = functools.partial(_kalman_kernel, n_s, n_o, T_len, lyap_iter)
     out_shape = [jax.ShapeDtypeStruct((nt, *TILE), jnp.float32)
-                 for _ in range(2)] + \
-        [jax.ShapeDtypeStruct((nt, *TILE), jnp.int32)] + \
-        [jax.ShapeDtypeStruct((nt, *TILE), jnp.float32) for _ in range(3)]
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+                 for _ in range(6)]
+    # explicit i32 index map: the default SMEM index map returns Python-int
+    # zeros, which trace as i64 under x64 and fail Mosaic legalization
+    _z = np.int32(0)
+    smem = pl.BlockSpec((T_len, n_o), lambda g: (_z, _z),
+                        memory_space=pltpu.SMEM)
     in_specs = [smem, smem,
                 *[_mat_spec(n_s, n_s)] * 2,
                 *[_mat_spec(n_s, n_sh)] * 2,

@@ -59,3 +59,62 @@ def test_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# Production DSGE path under a mesh (round-3 VERDICT missing #4): the
+# batch-last likelihood keeps the particle axis sharded even though it is
+# the LAST axis of every intermediate ([r, c, N] layout, models/dsge.py),
+# and the full driver agrees with the unsharded run.
+# ---------------------------------------------------------------------------
+
+
+def _small_as(T=12):
+    from smc_tpu.models.as_dsge import (an_schorfheide,
+                                        an_schorfheide_parameters,
+                                        generate_as_data)
+    from smc_tpu.params import ParamSpace
+    model = an_schorfheide()
+    data = generate_as_data(T=T, seed=1793)
+    space = ParamSpace(an_schorfheide_parameters())
+    return model, data, space
+
+
+def test_as_batched_likelihood_sharded_no_allgather():
+    """The compiled sharded batch-last likelihood must keep N partitioned:
+    no all-gather of a particle-sized operand may appear at the moveaxis
+    boundary (models/dsge.py bl layout)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    model, data, space = _small_as()
+    mesh = particle_mesh()
+    n = 16 * 8
+    thetas = space.sample_prior(jax.random.PRNGKey(0), n)
+    thetas = jax.device_put(thetas, NamedSharding(mesh, P("parts", None)))
+    f = jax.jit(lambda th: model.loglike_batched(th, data))
+    ll = f(thetas)
+    jax.block_until_ready(ll)
+    # output stays sharded over the particle axis
+    assert not ll.sharding.is_fully_replicated
+    hlo = f.lower(thetas).compile().as_text()
+    assert "all-gather" not in hlo, "sharding propagation inserted all-gathers"
+    # and agrees with the unsharded run
+    ll_ref = jax.jit(lambda th: model.loglike_batched(th, data))(
+        np.asarray(thetas))
+    fin = np.isfinite(np.asarray(ll_ref))
+    np.testing.assert_allclose(np.asarray(ll)[fin], np.asarray(ll_ref)[fin],
+                               rtol=1e-10)
+
+
+def test_as_batched_smc_sharded_matches_unsharded():
+    """Full driver on the AS model with batched=True over the 8-device mesh
+    vs single-device: same chain up to reduction-order float error."""
+    model, data, space = _small_as()
+    llb = lambda th, d: model.loglike_batched(th, d)
+    kw = dict(n_parts=64, n_phi=8, lam=2.0, verbose="none", seed=3,
+              batched=True)
+    r1 = smc(llb, space, data, **kw)
+    r2 = smc(llb, space, data, mesh=particle_mesh(), **kw)
+    assert not r2.cloud.params.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(r1.cloud.loglh),
+                               np.asarray(r2.cloud.loglh), rtol=1e-9)
+    np.testing.assert_allclose(r1.log_mdd, r2.log_mdd, rtol=1e-9)
