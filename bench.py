@@ -52,11 +52,16 @@ AS_N_PHI = 100
 
 
 def time_fused_estimation(space, loglike_batched, n_parts, n_phi, lam,
-                          n_blocks, alpha, seed, chunk_stages=None):
+                          n_blocks, alpha, seed, chunk_stages=None,
+                          cloud=None, aot_cache=False):
     """Run a complete fused estimation twice (compile+run, then timed run).
     chunk_stages bounds the stages per device dispatch (a remote-TPU tunnel
     kills multi-minute single dispatches with UNAVAILABLE; expensive
     likelihoods therefore run in chunks of the SAME compiled program).
+    With aot_cache=True the compiled executable is persisted to disk
+    (smc_tpu.aot) keyed by the lowered program, so a later process skips
+    the 3-6 min XLA optimization entirely — the JAX persistent cache is
+    unusable on the axon tunnel (round-3 hang bug), this path is not.
     Returns (n_stages, wall_s, compile_plus_run_s, log_mdd)."""
     from smc_tpu.smc import make_fused_recursion
     from smc_tpu.ops.schedule import fixed_schedule
@@ -70,8 +75,16 @@ def time_fused_estimation(space, loglike_batched, n_parts, n_phi, lam,
 
     key = jax.random.PRNGKey(seed)
     key, k0 = jax.random.split(key)
-    cloud = initial_draw(k0, space, loglike_batched, n_parts)
+    if cloud is None:
+        cloud = initial_draw(k0, space, loglike_batched, n_parts)
     jax.block_until_ready(cloud.params)
+
+    if aot_cache:
+        from smc_tpu.aot import compile_cached
+        args0 = (key, cloud.params, cloud.loglh, cloud.logprior,
+                 cloud.old_loglh, cloud.weights,
+                 0.5, 0.25, 0.0, float(n_parts), 1, 0.0, False, 0)
+        fused = compile_cached(fused, *args0, verbose=True)
 
     def run(k):
         state = (0.5, 0.25, 0.0, float(n_parts), 1, 0.0, False)
@@ -150,6 +163,48 @@ def time_host_estimation(space, loglike_batched, n_parts, n_phi, lam,
     return n_stages, dt, t_first, mdd
 
 
+def _as_init_cloud(space, llb, n_parts, seed=1):
+    """Valid initial cloud without initial_draw's internal jits (whose
+    ~8-minute axon compiles cannot go through the executable cache):
+    cached prior-sample + likelihood programs, host-side refill of the
+    ~0.1% non-finite prior-tail draws (same semantics as the masked-redraw
+    initializer: every particle ends finite)."""
+    from smc_tpu.cloud import Cloud
+    from smc_tpu.aot import compile_cached
+
+    key = jax.random.PRNGKey(seed)
+    draw = compile_cached(
+        jax.jit(lambda k: space.sample_prior(k, n_parts)), key, verbose=True)
+    like = compile_cached(jax.jit(lambda th: (llb(th), space.log_prior(th))),
+                          draw(key), verbose=True)
+    params = draw(key)
+    loglh, logprior = like(params)
+    # np.array (copy): np.asarray of a jax array is a read-only view
+    params, loglh, logprior = (np.array(params), np.array(loglh),
+                               np.array(logprior))
+    bad = ~(np.isfinite(loglh) & np.isfinite(logprior))
+    tries = 0
+    while bad.any() and tries < 50:
+        key, _ = jax.random.split(key)
+        p2 = np.asarray(draw(key))
+        l2, lp2 = (np.asarray(a) for a in like(jnp.asarray(p2)))
+        good2 = np.isfinite(l2) & np.isfinite(lp2)
+        take = np.where(good2)[0][: bad.sum()]
+        idx = np.where(bad)[0][: take.size]
+        params[idx] = p2[take]
+        loglh[idx] = l2[take]
+        logprior[idx] = lp2[take]
+        bad = ~(np.isfinite(loglh) & np.isfinite(logprior))
+        tries += 1
+    if bad.any():
+        raise RuntimeError("could not fill a finite initial cloud")
+    cloud = Cloud.create(space.n_para, n_parts)
+    cloud.params = jnp.asarray(params)
+    cloud.loglh = jnp.asarray(loglh)
+    cloud.logprior = jnp.asarray(logprior)
+    return cloud
+
+
 def main():
     from smc_tpu.params import ParamSpace
     from smc_tpu.models.linear import (linear_parameters, make_linear_loglike,
@@ -161,7 +216,8 @@ def main():
     llb = jax.vmap(lambda th: ll(th, data))
 
     n_stages, dt, t_first, mdd = time_fused_estimation(
-        space, llb, N_PARTS, N_PHI, 2.1, 3, 0.9, seed=0)
+        space, llb, N_PARTS, N_PHI, 2.1, 3, 0.9, seed=0,
+        aot_cache=jax.default_backend() == "tpu")
     mutations_per_s = N_PARTS * n_stages / dt
     n_chips = max(len(jax.devices()), 1)
     value = mutations_per_s / n_chips
@@ -171,17 +227,21 @@ def main():
         from smc_tpu.models.as_dsge import (an_schorfheide,
                                             an_schorfheide_parameters,
                                             generate_as_data)
-        model = an_schorfheide()
+        # Round-4 production path for the AS metric: the Pallas df64
+        # likelihood kernels (ops/pallas_dsge.py, superstep 147 -> 48 ms)
+        # driving the FUSED recursion in 25-stage chunks, with the compiled
+        # executable persisted by smc_tpu.aot so later processes (like this
+        # one on its next invocation) skip the XLA optimization.
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        model = an_schorfheide(likelihood_backend=backend)
         as_data = generate_as_data(T=80, seed=1793)
         as_space = ParamSpace(an_schorfheide_parameters())
         as_llb = lambda th: model.loglike_batched(th, as_data)
-        # Host-loop driver for the AS metric: on this infra each distinct
-        # fused chunk size pays a ~5-minute AOT compile, while the
-        # superstep compiles once and the measured per-stage dispatch
-        # overhead (~24 ms) is <20% of the ~150 ms AS stage
-        # (benchmarks/README.md round-3 table).
-        as_stages, as_dt, as_first, as_mdd = time_host_estimation(
-            as_space, as_llb, AS_N_PARTS, AS_N_PHI, 2.0, 1, 0.9, seed=0)
+        as_cloud = _as_init_cloud(as_space, as_llb, AS_N_PARTS)
+        as_stages, as_dt, as_first, as_mdd = time_fused_estimation(
+            as_space, as_llb, AS_N_PARTS, AS_N_PHI, 2.0, 1, 0.9, seed=0,
+            chunk_stages=25, cloud=as_cloud,
+            aot_cache=jax.default_backend() == "tpu")
         extras = {
             "as_mutations_per_s_per_chip": round(
                 AS_N_PARTS * as_stages / as_dt / n_chips, 1),
@@ -189,6 +249,7 @@ def main():
             "as_n_parts": AS_N_PARTS,
             "as_n_stages": as_stages,
             "as_log_mdd": round(as_mdd, 2),
+            "as_backend": backend,
         }
         print(f"# AS: {as_stages} stages in {as_dt:.2f}s "
               f"({as_dt/as_stages*1e3:.1f} ms/stage), first(run+compile)="

@@ -8,9 +8,15 @@ The dataset spans 197 quarters (vs SW2007's 1966-2004 ~ 156), so posterior
 moments are expected NEAR the published ones, not identical; the report
 prints a per-parameter z-score of the published mean under OUR posterior.
 
-Writes benchmarks/results_sw_real.json.
+SW_SAMPLE=matched estimates on the FIRST 156 quarters — SW2007's own
+1966-2004 sample, a slice of the same shipped file — which should
+reproduce the published posterior within MC error (round-3 VERDICT
+missing #3: the "extra 41 quarters through the Great Recession moved the
+outliers" story, made testable). Writes results_sw_matched.json then;
+results_sw_real.json otherwise.
 
 Usage: python examples/estimate_sw_real.py [n_parts] [n_phi]
+       SW_SAMPLE=matched python examples/estimate_sw_real.py
 """
 
 import json
@@ -58,13 +64,21 @@ def main():
 
     model = smets_wouters()
     data = load_reference_sw_data()
-    print(f"US data: {data.shape[0]} observables x {data.shape[1]} quarters",
+    matched = os.environ.get("SW_SAMPLE", "") == "matched"
+    if matched:
+        data = np.array(data[:, :156])   # SW2007's 1966-2004 sample
+        # labobs is demeaned hours: re-demean over the SUBSAMPLE, exactly
+        # how the published 1966-2004 dataset is constructed (loader note)
+        data[4] = data[4] - data[4].mean()
+    print(f"US data: {data.shape[0]} observables x {data.shape[1]} quarters"
+          + (" (matched 1966-2004 subsample)" if matched else ""),
           flush=True)
 
     # checkpoint every 10 stages: the remote-TPU tunnel (and this 2-core
     # box) can wedge mid-run; continue with SW_REAL_CONTINUE=1
     ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "sw_real_cloud.npz")
+                        "sw_matched_cloud.npz" if matched
+                        else "sw_real_cloud.npz")
     t0 = time.time()
     res = smc(model.loglike_batched, model.parameters, data, batched=True,
               n_parts=n_parts, n_phi=n_phi, n_blocks=3, n_mh_steps=1,
@@ -74,7 +88,9 @@ def main():
               save_intermediate=not smoke,
               intermediate_stage_increment=10,
               continue_intermediate=bool(os.environ.get("SW_REAL_CONTINUE")),
-              loadpath=ckpt if os.environ.get("SW_REAL_CONTINUE") else "")
+              loadpath=ckpt if os.environ.get("SW_REAL_CONTINUE") else "",
+              aot_cache_dir=os.environ.get("SMC_TPU_AOT_CACHE",
+                                           "/root/repo/.aot_cache"))
     wall = time.time() - t0
 
     mu = res.posterior_mean()
@@ -90,8 +106,12 @@ def main():
           f"resamples {res.cloud.resamples}", flush=True)
     print(f"log marginal data density: {res.log_mdd:.3f}", flush=True)
 
+    n_within = int(np.sum(np.abs(z) < 2.0))
+    print(f"parameters within |z|<2 of SW2007: {n_within}/36", flush=True)
     out = {
-        "metric": "sw_real_estimation",
+        "metric": "sw_matched_estimation" if matched else "sw_real_estimation",
+        "sample_quarters": int(data.shape[1]),
+        "n_within_2sd_of_sw2007": n_within,
         "n_parts": n_parts, "n_phi": n_phi,
         "wall_s": round(wall, 1),
         "log_mdd": round(float(res.log_mdd), 2),
@@ -107,7 +127,8 @@ def main():
     if smoke:
         return  # never overwrite real results with smoke-config output
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "benchmarks", "results_sw_real.json")
+        os.path.abspath(__file__))), "benchmarks",
+        "results_sw_matched.json" if matched else "results_sw_real.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}", flush=True)

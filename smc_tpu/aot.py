@@ -28,16 +28,26 @@ from __future__ import annotations
 import hashlib
 import os
 import pickle
+import re
 from typing import Any, Callable, Optional
 
 import jax
 
+_LOC_RE = re.compile(r"loc\([^)]*\)")
+_LOCDEF_RE = re.compile(r"^#loc\d* = .*$", re.MULTILINE)
+
 
 def _cache_key(lowered, backend_tag: str) -> str:
+    # Strip MLIR source-location debug info before hashing: edits elsewhere
+    # in a file shift line numbers and would otherwise invalidate the cache
+    # for an unchanged program (measured: a bench.py edit re-keyed an
+    # identical likelihood program).
+    txt = lowered.as_text()
+    txt = _LOCDEF_RE.sub("", _LOC_RE.sub("", txt))
     h = hashlib.sha256()
     h.update(jax.__version__.encode())
     h.update(backend_tag.encode())
-    h.update(lowered.as_text().encode())
+    h.update(txt.encode())
     return h.hexdigest()[:32]
 
 
@@ -63,9 +73,13 @@ def compile_cached(fn: Callable, *args,
         try:
             from jax.experimental import serialize_executable
             with open(path, "rb") as f:
-                payload, in_tree, out_tree = pickle.load(f)
+                payload, n_devices = pickle.load(f)
+            # Pin execution devices to the count the executable was built
+            # for: the default binds ALL local devices, which fails for a
+            # single-device program on a multi-device host (e.g. the
+            # 8-virtual-CPU test mesh).
             compiled = serialize_executable.deserialize_and_load(
-                payload, in_tree, out_tree)
+                *payload, execution_devices=jax.devices()[:n_devices])
             if verbose:
                 print(f"# aot cache hit: {path}")
             return compiled
@@ -77,10 +91,16 @@ def compile_cached(fn: Callable, *args,
     try:
         from jax.experimental import serialize_executable
         payload = serialize_executable.serialize(compiled)
+        try:
+            n_devices = len(set().union(
+                *(s.device_set for s, _ in [(sh, None)
+                  for sh in compiled.input_shardings[0]])))
+        except Exception:
+            n_devices = 1
         os.makedirs(cache_dir, exist_ok=True)
         tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "wb") as f:
-            pickle.dump(payload, f)
+            pickle.dump((payload, n_devices), f)
         os.replace(tmp, path)  # atomic publish (io.py discipline)
         if verbose:
             print(f"# aot cache store: {path}")

@@ -349,6 +349,7 @@ def smc(loglikelihood: Callable,
         run_csminwel: bool = False,
         debug_assertion: bool = False,
         profile_dir: Optional[str] = None,
+        aot_cache_dir: Optional[str] = None,
         # --- accepted for kwarg-surface parity with the reference
         #     (src/smc_main.jl:118-161); see docstring ---
         parallel: Optional[bool] = None,
@@ -396,6 +397,12 @@ def smc(loglikelihood: Callable,
     `profile_dir` writes a jax.profiler trace of the whole recursion for
     TensorBoard/XProf — the upgrade over the reference's wall-clock-only
     timing (SURVEY.md §5 "Tracing/profiling").
+
+    `aot_cache_dir` persists the compiled stage program (superstep or fused
+    recursion) to disk via smc_tpu.aot and reuses it across PROCESSES —
+    XLA optimization of DSGE-scale programs costs minutes, and JAX's own
+    persistent compile cache is unusable on remote-TPU tunnels
+    (benchmarks/README.md). Failures fall back to normal jit silently.
 
     Performance note — the FUSED fast path is the default: with
     `verbose="none"` the entire tempering recursion runs as ONE device-side
@@ -602,6 +609,16 @@ def smc(loglikelihood: Callable,
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
+    def _maybe_aot(fn, args):
+        if not aot_cache_dir:
+            return fn
+        from smc_tpu.aot import compile_cached
+        try:
+            return compile_cached(fn, *args, cache_dir=aot_cache_dir)
+        except Exception as e:  # stale cache/unsupported backend -> plain jit
+            warnings.warn(f"aot executable cache unavailable ({e!r})")
+            return fn
+
     if use_fused:
         fused_fn = make_fused_recursion(
             space, loglike_batched, n_blocks, n_mh_steps, alpha,
@@ -620,6 +637,10 @@ def smc(loglikelihood: Callable,
                        float(cloud.ESS[-1]), j, phi_prop,
                        bool(resampled_last_period))
         chunk_timer = diag.StageTimer()
+        fused_fn = _maybe_aot(
+            fused_fn, (key, cloud.params, cloud.loglh, cloud.logprior,
+                       cloud.old_loglh, cloud.weights, *chunk_state,
+                       s_global))
         while phi_n < 1.0:
             st = fused_fn(key, cloud.params, cloud.loglh, cloud.logprior,
                           cloud.old_loglh, cloud.weights, *chunk_state,
@@ -687,6 +708,7 @@ def smc(loglikelihood: Callable,
             log_prob_old_data, old_loglike_batched)
     phi_n = float(cloud.tempering_schedule[-1]) if (continue_intermediate
                                                     or use_fused) else 0.0
+    aot_wrapped = False
     timer = diag.StageTimer()
     while phi_n < 1.0:
         i += 1
@@ -714,6 +736,13 @@ def smc(loglikelihood: Callable,
         cloud.c = c
 
         key, skey = jax.random.split(key)
+        if aot_cache_dir and not aot_wrapped:
+            superstep = _maybe_aot(
+                superstep, (skey, cloud.params, cloud.loglh, cloud.logprior,
+                            cloud.old_loglh, cloud.weights,
+                            jnp.float64(phi_n), jnp.float64(phi_n1),
+                            jnp.float64(c)))
+            aot_wrapped = True
         (cloud.params, cloud.loglh, cloud.logprior, cloud.old_loglh,
          cloud.weights, cloud.accept, inc_w, W_col, ess, did_resample,
          accept_mean, mdd_inc) = superstep(

@@ -1,0 +1,56 @@
+"""Persistent compiled-executable cache (smc_tpu.aot): round-trip identity
+and driver integration. The axon-tunnel behavior (the whole point — JAX's
+persistent cache hangs there, this path does not) is exercised on-chip by
+bench.py; here the mechanism is pinned on CPU."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from smc_tpu.aot import compile_cached
+
+
+def test_compile_cached_roundtrip(tmp_path):
+    d = str(tmp_path)
+
+    def f(x, s):
+        return jnp.cumsum(x * s) + jnp.log(jnp.abs(x) + 1.0)
+
+    x = jnp.linspace(0.0, 3.0, 256, dtype=jnp.float64)
+    c1 = compile_cached(f, x, 2.0, cache_dir=d)
+    out1 = np.asarray(c1(x, 2.0))
+    assert len(os.listdir(d)) == 1
+    # second call loads from disk and produces identical results
+    c2 = compile_cached(f, x, 2.0, cache_dir=d)
+    np.testing.assert_array_equal(np.asarray(c2(x, 2.0)), out1)
+    assert len(os.listdir(d)) == 1
+
+
+def test_cache_key_ignores_source_locations(tmp_path):
+    """Two lambdas with identical math but different source lines share one
+    cache entry (keys canonicalize away MLIR loc info)."""
+    d = str(tmp_path)
+    x = jnp.arange(64, dtype=jnp.float64)
+    f1 = lambda v: v * 3.0 + 1.0
+    f2 = lambda v: v * 3.0 + 1.0  # different line, same program
+    compile_cached(f1, x, cache_dir=d)
+    compile_cached(f2, x, cache_dir=d)
+    assert len(os.listdir(d)) == 1
+
+
+def test_smc_driver_aot_cache(tmp_path):
+    from smc_tpu import smc
+    from smc_tpu.models.linear import (linear_parameters, make_linear_loglike,
+                                       generate_linear_data)
+    data, X = generate_linear_data(seed=1793)
+    d = str(tmp_path)
+    kw = dict(n_parts=64, n_phi=8, lam=2.0, verbose="none", seed=3,
+              aot_cache_dir=d)
+    r1 = smc(make_linear_loglike(X), linear_parameters(), data, **kw)
+    assert len(os.listdir(d)) >= 1
+    r2 = smc(make_linear_loglike(X), linear_parameters(), data, **kw)
+    np.testing.assert_allclose(r1.log_mdd, r2.log_mdd, rtol=0)
+    np.testing.assert_array_equal(np.asarray(r1.cloud.params),
+                                  np.asarray(r2.cloud.params))
