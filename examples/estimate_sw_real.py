@@ -36,6 +36,7 @@ import jax
 jax.config.update("jax_enable_x64", True)
 
 from smc_tpu import smc
+from smc_tpu.aot import default_cache_dir
 from smc_tpu.models.sw_dsge import (smets_wouters, load_reference_sw_data,
                                     PARAM_NAMES)
 
@@ -90,7 +91,7 @@ def main():
               continue_intermediate=bool(os.environ.get("SW_REAL_CONTINUE")),
               loadpath=ckpt if os.environ.get("SW_REAL_CONTINUE") else "",
               aot_cache_dir=os.environ.get("SMC_TPU_AOT_CACHE",
-                                           "/root/repo/.aot_cache"))
+                                           default_cache_dir()))
     wall = time.time() - t0
 
     mu = res.posterior_mean()

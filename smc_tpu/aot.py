@@ -16,11 +16,21 @@ entirely, so it works on the axon tunnel.
 
 Scope/caveats:
   * An executable is only valid for the same device kind + runtime version;
-    the cache key includes both, plus the jax version.
+    the cache key includes both, the jax/jaxlib versions, and the backend's
+    platform_version fingerprint.
   * Lowering (tracing + StableHLO emission) still runs to produce the key —
     measured ~0.3-1 s for the fused programs, vs minutes of XLA opt.
   * Deserialization failures (runtime upgrades, corrupt files) fall back to
     a fresh compile and overwrite the entry.
+  * A deserialized executable can ALSO fail at *execution* time even when
+    loading "succeeded" — measured on XLA:CPU, where the AOT loader records
+    compile-time machine-feature preferences (+prefer-no-scatter/gather)
+    that the host feature probe never reports, and the first call dies with
+    "NOT_FOUND: Buffer Definition Event". Cache hits are therefore returned
+    through a validating proxy: the first call runs under a try/except,
+    and on failure the bad entry is deleted, the program recompiled from
+    the retained lowering, and the call transparently re-executed. The
+    happy path pays only one extra block_until_ready on the first call.
 """
 
 from __future__ import annotations
@@ -46,6 +56,11 @@ def _cache_key(lowered, backend_tag: str) -> str:
     txt = _LOCDEF_RE.sub("", _LOC_RE.sub("", txt))
     h = hashlib.sha256()
     h.update(jax.__version__.encode())
+    try:
+        import jaxlib
+        h.update(getattr(jaxlib, "__version__", "?").encode())
+    except Exception:
+        pass
     h.update(backend_tag.encode())
     h.update(txt.encode())
     return h.hexdigest()[:32]
@@ -53,16 +68,101 @@ def _cache_key(lowered, backend_tag: str) -> str:
 
 def _backend_tag() -> str:
     d = jax.devices()[0]
-    return f"{d.platform}:{getattr(d, 'device_kind', '?')}"
+    tag = f"{d.platform}:{getattr(d, 'device_kind', '?')}"
+    # Runtime fingerprint: platform_version carries the XLA/runtime build
+    # (e.g. TFRT CPU version or libtpu build), so a runtime upgrade re-keys
+    # the cache instead of loading an executable built for the old runtime.
+    try:
+        from jax.extend import backend as jex_backend
+        tag += ":" + str(jex_backend.get_backend().platform_version)
+    except Exception:
+        pass
+    return tag
+
+
+def default_cache_dir() -> str:
+    """Repo-root `.aot_cache`, discovered from the package location (the
+    package lives at <root>/smc_tpu/) — no hardcoded absolute paths."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(root, ".aot_cache")
+
+
+class _ValidatedCompiled:
+    """Proxy over a deserialized `jax.stages.Compiled` that validates it on
+    first execution. Deserialization can "succeed" and still yield an
+    executable that crashes on its first call (XLA:CPU machine-feature
+    mismatch, stale runtime). The first call synchronizes its outputs and,
+    on ANY failure, deletes the cache entry, recompiles from the retained
+    lowering, overwrites the entry, and re-executes — so a bad cache entry
+    degrades to one recompile instead of aborting the estimation."""
+
+    def __init__(self, compiled, lowered, path: str, verbose: bool):
+        self._compiled = compiled
+        self._lowered = lowered
+        self._path = path
+        self._verbose = verbose
+        self._validated = False
+
+    def __call__(self, *args, **kwargs):
+        if self._validated:
+            return self._compiled(*args, **kwargs)
+        try:
+            out = self._compiled(*args, **kwargs)
+            jax.block_until_ready(out)  # surface async execution failures
+            self._validated = True
+            return out
+        except Exception as e:
+            if self._verbose:
+                print(f"# aot cached executable failed at execution "
+                      f"({type(e).__name__}); recompiling")
+            try:
+                os.remove(self._path)
+            except OSError:
+                pass
+            self._compiled = self._lowered.compile()
+            _store(self._compiled, self._path, self._verbose)
+            self._validated = True
+            return self._compiled(*args, **kwargs)
+
+    def __getattr__(self, name):  # cost_analysis, input_shardings, ...
+        return getattr(self._compiled, name)
+
+
+def _store(compiled, path: str, verbose: bool) -> None:
+    """Serialize `compiled` to `path` atomically; failures only disable
+    caching, never the computation."""
+    try:
+        from jax.experimental import serialize_executable
+        payload = serialize_executable.serialize(compiled)
+        try:
+            n_devices = len(set().union(
+                *(s.device_set for s, _ in [(sh, None)
+                  for sh in compiled.input_shardings[0]])))
+        except Exception:
+            n_devices = 1
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump((payload, n_devices), f)
+        os.replace(tmp, path)  # atomic publish (io.py discipline)
+        if verbose:
+            print(f"# aot cache store: {path}")
+    except Exception as e:
+        if verbose:
+            print(f"# aot serialize failed ({e!r}); caching skipped")
 
 
 def compile_cached(fn: Callable, *args,
-                   cache_dir: str = "/root/repo/.aot_cache",
+                   cache_dir: Optional[str] = None,
                    verbose: bool = False, **kwargs):
     """`jax.jit(fn)`-compile for `args`, reusing a disk-cached executable
     when the lowered program matches. Returns a `jax.stages.Compiled` (call
-    it with the same arg structure). `fn` may already be a jitted function;
-    plain callables are wrapped with jax.jit."""
+    it with the same arg structure) — or, on a cache hit, a validating
+    proxy that transparently recompiles if the loaded executable fails its
+    first execution. `fn` may already be a jitted function; plain callables
+    are wrapped with jax.jit."""
+    if cache_dir is None:
+        cache_dir = default_cache_dir()
     jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
     lowered = jitted.lower(*args, **kwargs)
     tag = _backend_tag()
@@ -82,29 +182,15 @@ def compile_cached(fn: Callable, *args,
                 *payload, execution_devices=jax.devices()[:n_devices])
             if verbose:
                 print(f"# aot cache hit: {path}")
-            return compiled
+            return _ValidatedCompiled(compiled, lowered, path, verbose)
         except Exception as e:  # stale runtime / corrupt file -> recompile
             if verbose:
                 print(f"# aot cache entry unusable ({e!r}); recompiling")
+            try:
+                os.remove(path)
+            except OSError:
+                pass
 
     compiled = lowered.compile()
-    try:
-        from jax.experimental import serialize_executable
-        payload = serialize_executable.serialize(compiled)
-        try:
-            n_devices = len(set().union(
-                *(s.device_set for s, _ in [(sh, None)
-                  for sh in compiled.input_shardings[0]])))
-        except Exception:
-            n_devices = 1
-        os.makedirs(cache_dir, exist_ok=True)
-        tmp = path + f".tmp{os.getpid()}"
-        with open(tmp, "wb") as f:
-            pickle.dump((payload, n_devices), f)
-        os.replace(tmp, path)  # atomic publish (io.py discipline)
-        if verbose:
-            print(f"# aot cache store: {path}")
-    except Exception as e:
-        if verbose:
-            print(f"# aot serialize failed ({e!r}); caching skipped")
+    _store(compiled, path, verbose)
     return compiled

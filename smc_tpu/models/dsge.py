@@ -423,7 +423,7 @@ class LinearDSGE:
     def __init__(self, parameters: List, system_fn: Callable,
                  measurement_fn: Callable, n_shocks: int,
                  shock_cov_fn: Callable, use_chand_recursion: bool = True,
-                 likelihood_backend: str = "xla"):
+                 likelihood_backend: str = "xla", mesh=None):
         self.parameters = parameters
         self.system_fn = system_fn
         self.measurement_fn = measurement_fn
@@ -439,6 +439,14 @@ class LinearDSGE:
         if likelihood_backend not in ("xla", "pallas"):
             raise ValueError("likelihood_backend must be 'xla' or 'pallas'")
         self.likelihood_backend = likelihood_backend
+        # Optional jax.sharding.Mesh for the PALLAS backend: XLA's SPMD
+        # partitioner cannot auto-shard a custom call, so under a mesh the
+        # kernels are wrapped in shard_map over the particle (batch-last)
+        # axis — each device runs its own pallas_call on its shard, no
+        # collectives in the likelihood (the particle axis is embarrassingly
+        # parallel, reference src/util.jl:93-111). The XLA backend needs no
+        # mesh argument: the partitioner shards it automatically.
+        self.mesh = mesh
 
     def loglike(self, theta, data):
         A, B, C, D = self.system_fn(theta)
@@ -468,9 +476,29 @@ class LinearDSGE:
         bl = lambda x: jnp.moveaxis(x, 0, -1)
         if self.likelihood_backend == "pallas":
             from smc_tpu.ops.pallas_dsge import pallas_dsge_loglike
-            return pallas_dsge_loglike(
-                bl(A), bl(B), bl(C), bl(D), bl(Q), bl(Z),
-                jnp.moveaxis(d_obs, 0, -1), bl(H), jnp.asarray(data))
+            # interpret mode off-TPU (CPU test meshes, dryrun_multichip):
+            # Mosaic kernels only compile for TPU backends
+            interp = jax.default_backend() != "tpu"
+            if self.mesh is None:
+                return pallas_dsge_loglike(
+                    bl(A), bl(B), bl(C), bl(D), bl(Q), bl(Z),
+                    jnp.moveaxis(d_obs, 0, -1), bl(H), jnp.asarray(data),
+                    interpret=interp)
+            from jax.sharding import PartitionSpec as P
+            axis = self.mesh.axis_names[0]
+            m_spec = P(None, None, axis)        # [r, c, N] batch-last
+            fn = jax.shard_map(
+                lambda a, b, c, d, q, z, dob, h, y: pallas_dsge_loglike(
+                    a, b, c, d, q, z, dob, h, y, interpret=interp),
+                mesh=self.mesh,
+                in_specs=(m_spec,) * 6 + (P(None, axis), m_spec,
+                                          P(None, None)),
+                out_specs=P(axis),
+                # pallas_call's out ShapeDtypeStructs carry no varying-axis
+                # metadata; skip the vma check (the body is per-shard pure)
+                check_vma=False)
+            return fn(bl(A), bl(B), bl(C), bl(D), bl(Q), bl(Z),
+                      jnp.moveaxis(d_obs, 0, -1), bl(H), jnp.asarray(data))
         X, M, ok = bl_solve_linear_re(bl(A), bl(B), bl(C), bl(D))
         ll = bl_kalman_loglike_chandrasekhar(
             X, M, bl(Q), bl(Z), jnp.moveaxis(d_obs, 0, -1), bl(H),

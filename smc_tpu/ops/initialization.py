@@ -40,13 +40,18 @@ def _eval_batch(space, loglike_batched, draws):
 
 
 def initial_draw(key, space, loglike_batched: Callable, n_parts: int,
-                 max_rounds: int = 1000, sharding=None) -> Cloud:
+                 max_rounds: int = 1000, sharding=None,
+                 aot_cache_dir=None) -> Cloud:
     """Draw n_parts valid particles from the prior (reference initial_draw!,
     src/initialization.jl:88-119): loglh and logprior finite for every row.
 
     Masked redraw rounds run on the host (round count is data-dependent and
     small); each round is one batched prior-sample + likelihood evaluation.
     Raises if max_rounds rounds can't produce a fully-valid cloud.
+
+    `aot_cache_dir` persists the two compiled programs via smc_tpu.aot, so
+    a warm process skips their XLA optimization entirely (the redraw-round
+    program only compiles at all if a redraw is needed).
     """
     # Everything is jitted into TWO programs (draw+eval, redraw-round) so
     # the whole initialization costs two XLA compiles regardless of round
@@ -74,9 +79,14 @@ def initial_draw(key, space, loglike_batched: Callable, n_parts: int,
         return (draws, loglh, logprior), n_bad
 
     key, k0 = jax.random.split(key)
+    if aot_cache_dir:
+        from smc_tpu.aot import compile_cached
+        first_draw = compile_cached(first_draw, k0,
+                                    cache_dir=aot_cache_dir, verbose=True)
     (draws, loglh, logprior), n_bad = first_draw(k0)
     rounds = 0
     n_bad = int(n_bad)
+    redraw_wrapped = False
     while n_bad > 0:
         rounds += 1
         if rounds > max_rounds:
@@ -85,6 +95,11 @@ def initial_draw(key, space, loglike_batched: Callable, n_parts: int,
                 f"after {max_rounds} redraw rounds — the prior puts almost "
                 "no mass where the likelihood is finite")
         key, kr = jax.random.split(key)
+        if aot_cache_dir and not redraw_wrapped:
+            redraw_round = compile_cached(
+                redraw_round, kr, draws, loglh, logprior,
+                cache_dir=aot_cache_dir, verbose=True)
+            redraw_wrapped = True
         (draws, loglh, logprior), n_bad = redraw_round(kr, draws, loglh,
                                                        logprior)
         n_bad = int(n_bad)

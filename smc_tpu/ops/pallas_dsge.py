@@ -266,8 +266,43 @@ def _re_kernel(n_s, n_shock, n_iter, tol,
 
     shapes = [(n_s, n_s)] * 4
 
-    def cr_body(_, flat):
-        (A0, A1, A2, Ah), _n = _unpack(flat, shapes)
+    # Convergence scale for the early exit: max input magnitude across the
+    # tile (A/B/C are O(1)-to-O(100) for DSGE systems; the test below is
+    # relative to this).
+    scale = jnp.abs(A[0][0][0])
+    for mat in (A, B, C):
+        for i in range(n_s):
+            for j in range(n_s):
+                scale = jnp.maximum(scale, jnp.abs(mat[i][j][0]))
+    # NaN/inf lanes must not poison the tile-wide scale (inf would make
+    # tol_exit infinite -> the whole tile exits at iteration 0 and every
+    # good lane fails the residual check); drop them to 0 here — the
+    # in-loop NaN->inf mapping below separately keeps such lanes from
+    # triggering the early exit.
+    scale = jnp.maximum(jnp.max(
+        jnp.where(jnp.isfinite(scale), scale, 0.0)), 1.0)
+    # Exit once max(|A0|,|A2|) < 2^-27 * scale: cyclic reduction is
+    # quadratic, so the NEXT update to A1/Ah is O(|A0|^2/scale) <
+    # 2^-54 * scale — below df64 resolution (2^-48), i.e. bit-equivalent
+    # to running all n_iter iterations. Lanes that never converge
+    # (indeterminate/explosive draws, NaN lanes) keep the tile running to
+    # the n_iter cap and are flagged by the residual/finite guards below.
+    tol_exit = scale * jnp.float32(2.0 ** -27)
+
+    def cr_cond(carry):
+        k = carry[0]
+        (A0, _, A2, _), _n = _unpack(carry[1:], shapes)
+        mx = jnp.abs(A0[0][0][0])
+        for i in range(n_s):
+            for j in range(n_s):
+                mx = jnp.maximum(mx, jnp.abs(A0[i][j][0]))
+                mx = jnp.maximum(mx, jnp.abs(A2[i][j][0]))
+        mx = jnp.where(jnp.isnan(mx), jnp.inf, mx)  # NaN lane: no early exit
+        return (k < n_iter) & (jnp.max(mx) > tol_exit)
+
+    def cr_body(carry):
+        k = carry[0]
+        (A0, A1, A2, Ah), _n = _unpack(carry[1:], shapes)
         SA = gj_solve_df(A1, [A0[i] + A2[i] for i in range(n_s)])
         SA0 = [row[:n_s] for row in SA]
         SA2 = [row[n_s:] for row in SA]
@@ -276,13 +311,13 @@ def _re_kernel(n_s, n_shock, n_iter, tol,
         A1_n = mat_sub_df(mat_sub_df(A1, mat_mul_df(A0, SA2)), A2SA0)
         A0_n = mat_neg_df(mat_mul_df(A0, SA0))
         A2_n = mat_neg_df(mat_mul_df(A2, SA2))
-        return _pack([A0_n, A1_n, A2_n, Ah_n])
+        return (k + 1,) + _pack([A0_n, A1_n, A2_n, Ah_n])
 
     # i32 loop bounds: under jax_enable_x64 a Python-int bound makes the
     # induction variable i64, which Mosaic cannot legalize
-    flat = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_iter), cr_body,
-                             _pack([A, B, C, B]))
-    (_, _, _, Ah), _ = _unpack(flat, shapes)
+    carry = jax.lax.while_loop(cr_cond, cr_body,
+                               (jnp.int32(0),) + _pack([A, B, C, B]))
+    (_, _, _, Ah), _ = _unpack(carry[1:], shapes)
 
     X = mat_neg_df(gj_solve_df(Ah, A))
     lhs = mat_add_df(B, mat_mul_df(C, X))
@@ -373,6 +408,12 @@ def _kalman_kernel(n_s, n_o, T, lyap_iter,
         for i in range(n_s):
             for j in range(n_s):
                 mx = jnp.maximum(mx, jnp.abs(Ak[i][j][0]))
+        # NaN lanes (unsanitized T from a bad RE draw) must NOT trigger the
+        # tile-wide early exit: NaN > 1e-20 is False, and one NaN lane would
+        # hand every good lane in the tile P0 = RQR (finite but wrong).
+        # Mapping NaN -> inf makes such tiles just run all lyap_iter
+        # iterations; the NaN lanes get flagged by the finiteness guard.
+        mx = jnp.where(jnp.isnan(mx), jnp.inf, mx)
         return (k < lyap_iter) & (jnp.max(mx) > 1e-20)
 
     def lyap_body(carry):

@@ -52,10 +52,11 @@ def metropolis_n_iter(weights, eps: float = 0.01) -> int:
     return max(1, int(np.ceil(kappa * np.log(1.0 / eps))))
 
 
-@partial(jax.jit, static_argnames=("method", "n_parts", "n_iter", "eps"))
+@partial(jax.jit, static_argnames=("method", "n_parts", "n_iter", "eps",
+                                   "n_iter_max"))
 def resample(key, weights, method: str = "systematic",
              n_parts: int | None = None, n_iter: int | None = None,
-             eps: float = 0.01):
+             eps: float = 0.01, n_iter_max: int = 10_000):
     """Resampled ancestor indices for `weights` (need not be normalized).
 
     Matches reference semantics: returned index i is the first j with
@@ -77,6 +78,14 @@ def resample(key, weights, method: str = "systematic",
         default is only valid for kappa <~ 7, but kappa is largest exactly
         on resample stages). Pass an int to pin the length instead.
       eps: total-variation bias bound for the adaptive Metropolis length.
+      n_iter_max: hard cap on the adaptive Metropolis chain length. The
+        Doeblin length is unbounded in the weight skew (kappa can reach N:
+        a degenerate stage at 32k particles would imply ~150k sequential
+        O(N)-gather sweeps inside the jitted superstep — a multi-hour
+        device-side stall that remote-TPU tunnels kill with UNAVAILABLE).
+        When the cap binds, the TV bias bound degrades to
+        exp(-n_iter_max / kappa) and a debug warning is emitted; the
+        default cap keeps bias <= eps for kappa up to ~2170.
     """
     if method not in VALID_METHODS:
         raise ValueError(
@@ -87,7 +96,7 @@ def resample(key, weights, method: str = "systematic",
 
     if method == "metropolis":
         if n_iter is None:
-            return _metropolis_adaptive(key, weights, n_out, eps)
+            return _metropolis_adaptive(key, weights, n_out, eps, n_iter_max)
         return _metropolis(key, weights, n_out, n_iter)
 
     w = weights / jnp.sum(weights)
@@ -138,7 +147,7 @@ def _metropolis(key, weights, n_out, n_iter: int = 32):
     return j
 
 
-def _metropolis_adaptive(key, weights, n_out, eps: float):
+def _metropolis_adaptive(key, weights, n_out, eps: float, n_iter_max: int):
     """Metropolis resampling with the chain length chosen ON DEVICE from the
     Doeblin bound: B = ceil(kappa * ln(1/eps)), kappa = w_max / w_bar (see
     metropolis_n_iter). One reduction computes kappa, then a
@@ -146,11 +155,20 @@ def _metropolis_adaptive(key, weights, n_out, eps: float):
     folded keys — jit-compatible despite the data-dependent trip count, so
     the driver's in-graph resample branch carries the eps bias bound at
     whatever weight skew the stage actually has. Work is O(B * n_out)
-    gathers; kappa <= N bounds the worst case."""
+    gathers; B is clamped to n_iter_max (see `resample`) so a degenerate
+    stage cannot stall the device for hours."""
     n = weights.shape[0]
     kappa = jnp.max(weights) / jnp.mean(weights)
-    n_steps = jnp.maximum(
-        jnp.ceil(kappa * jnp.log(1.0 / eps)), 1.0).astype(jnp.int32)
+    n_doeblin = jnp.maximum(jnp.ceil(kappa * jnp.log(1.0 / eps)), 1.0)
+    n_steps = jnp.minimum(n_doeblin, float(n_iter_max)).astype(jnp.int32)
+    jax.lax.cond(
+        n_doeblin > float(n_iter_max),
+        lambda: jax.debug.print(
+            "smc_tpu WARNING: metropolis resampler chain length capped at "
+            "{cap} (Doeblin bound {b:.0f} at kappa={k:.1f}); TV bias bound "
+            "degrades to exp(-cap/kappa)", cap=n_iter_max, b=n_doeblin,
+            k=kappa),
+        lambda: None)
 
     def body(carry):
         t, j = carry

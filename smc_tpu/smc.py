@@ -229,9 +229,17 @@ def make_fused_recursion(space, loglike_batched, n_blocks, n_mh_steps, alpha,
     @jax.jit
     def fused(key, params, loglh, logprior, old_loglh, weights,
               c0, accept0, phi0, ess0, j0, phi_prop0, resampled_last0,
-              s0=0):
+              s0=0, stop_after=max_stages):
+        # `stop_after` dynamically bounds the stages THIS dispatch may run
+        # (<= the static max_stages that sizes the trace buffers): the
+        # driver uses it to run a small FIRST chunk so per-stage output
+        # appears within a few stages instead of after a full 25-stage
+        # chunk (round-4 ADVICE: minutes-per-stage models showed nothing
+        # for very long stretches) — same compiled program for all chunks.
         n = params.shape[0]
         s0 = jnp.asarray(s0, jnp.int32)
+        stop_after = jnp.minimum(jnp.asarray(stop_after, jnp.int32),
+                                 max_stages)
         traces0 = {
             "phi": jnp.zeros(max_stages, jnp.float64),
             "ess": jnp.zeros(max_stages, jnp.float64),
@@ -258,7 +266,7 @@ def make_fused_recursion(space, loglike_batched, n_blocks, n_mh_steps, alpha,
         )
 
         def cond(st):
-            return ((st["phi"] < 1.0) & (st["s"] - s0 < max_stages)
+            return ((st["phi"] < 1.0) & (st["s"] - s0 < stop_after)
                     & ~st["nan_ess"])
 
         def body(st):
@@ -559,7 +567,8 @@ def smc(loglikelihood: Callable,
     else:
         key, k0 = jax.random.split(key)
         cloud = initial_draw(k0, space, loglike_batched, n_parts,
-                             sharding=sharding)
+                             sharding=sharding,
+                             aot_cache_dir=aot_cache_dir)
         cloud = _reinit_scalars(cloud, tempered=False)
 
     if sharding is not None:
@@ -637,14 +646,22 @@ def smc(loglikelihood: Callable,
                        float(cloud.ESS[-1]), j, phi_prop,
                        bool(resampled_last_period))
         chunk_timer = diag.StageTimer()
+        # At verbose="low", the FIRST dispatch runs only a few stages so the
+        # user sees per-stage output early (a full 25-stage chunk of an
+        # expensive model can take minutes with no output — round-4 ADVICE);
+        # later dispatches run full chunks. Same compiled program: the
+        # bound is a dynamic argument.
+        full_chunk = fused_chunk_stages or n_phi
+        stop_after = min(3, full_chunk) if verbose == "low" else full_chunk
         fused_fn = _maybe_aot(
             fused_fn, (key, cloud.params, cloud.loglh, cloud.logprior,
                        cloud.old_loglh, cloud.weights, *chunk_state,
-                       s_global))
+                       s_global, stop_after))
         while phi_n < 1.0:
             st = fused_fn(key, cloud.params, cloud.loglh, cloud.logprior,
                           cloud.old_loglh, cloud.weights, *chunk_state,
-                          s_global)
+                          s_global, stop_after)
+            stop_after = full_chunk
             jax.block_until_ready(st["params"])
             chunk_dt = chunk_timer.lap()
             cloud.total_sampling_time += chunk_dt

@@ -339,3 +339,25 @@ def test_batch_last_re_solver_matches():
                                np.asarray(Xv), rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(np.moveaxis(np.asarray(Mb), -1, 0),
                                np.asarray(Mv), rtol=1e-9, atol=1e-11)
+
+
+def test_as_2obs_batched_matches_vmapped():
+    """n_obs=2 AS variant: the batch-last likelihood must route the
+    innovation solves through bl_chol_solve (the 3x3 cofactor closed form
+    does not apply) and agree with the vmapped f64 reference path
+    (round-4 VERDICT ask #10)."""
+    from smc_tpu.models.as_dsge import (an_schorfheide_2obs,
+                                        an_schorfheide_parameters,
+                                        generate_as_data)
+    from smc_tpu.params import ParamSpace
+    model = an_schorfheide_2obs()
+    data3 = generate_as_data(T=24, seed=5)
+    data = data3[:2]                       # growth + inflation rows
+    space = ParamSpace(an_schorfheide_parameters())
+    thetas = space.sample_prior(jax.random.PRNGKey(2), 128)
+    ll_bl = np.asarray(model.loglike_batched(thetas, data))
+    ll_vm = np.asarray(jax.vmap(lambda th: model.loglike(th, data))(thetas))
+    fin = np.isfinite(ll_bl) & np.isfinite(ll_vm)
+    assert np.mean(np.isfinite(ll_bl) == np.isfinite(ll_vm)) > 0.99
+    assert fin.sum() > 60
+    np.testing.assert_allclose(ll_bl[fin], ll_vm[fin], rtol=1e-8)
