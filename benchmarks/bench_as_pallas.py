@@ -140,6 +140,24 @@ def main():
                       jnp.float64(0.1), jnp.float64(0.05), jnp.float64(0.5))
     emit("full_superstep_pallas", best, n, tc)
 
+    # ---- shard_map mesh bridge, REAL Mosaic compile (1-device mesh) -------
+    # The multi-shard structure runs on the 8-virtual-CPU mesh in
+    # tests/dryrun; HERE the full AS kernel goes through the same shard_map
+    # path compiled by Mosaic on hardware, asserting it matches the
+    # unsharded pallas backend bit-for-bit (round-4 VERDICT ask #5).
+    from smc_tpu.parallel.mesh import particle_mesh, particle_sharding
+    mesh1 = particle_mesh(jax.devices()[:1])
+    model_pm = an_schorfheide(likelihood_backend="pallas", mesh=mesh1)
+    thetas_sh = jax.device_put(thetas, particle_sharding(mesh1))
+    llb_pm = jax.jit(lambda th: model_pm.loglike_batched(th, data))
+    best, tc = timeit(llb_pm, thetas_sh)
+    ll_mesh = np.asarray(llb_pm(thetas_sh))
+    ll_flat = np.asarray(llb_p(thetas))
+    bit_equal = bool(np.array_equal(ll_mesh, ll_flat))
+    emit("likelihood_pallas_shard_map", best, n, tc,
+         bit_equal_to_unsharded=bit_equal)
+    assert bit_equal, "shard_map pallas likelihood != unsharded pallas"
+
 
 if __name__ == "__main__":
     main()

