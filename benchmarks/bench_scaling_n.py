@@ -39,7 +39,13 @@ def emit(**kw):
                       "device": str(jax.devices()[0]), **kw}), flush=True)
 
 
-def bench_superstep(space, llb, n, n_blocks, alpha, reps=3):
+def bench_superstep(space, llb, n, n_blocks, alpha, K=20, reps=2):
+    """Time K supersteps INSIDE one `lax.while_loop` dispatch (the round-5
+    in-loop protocol, benchmarks/README.md): on this box's remote-TPU
+    runtime, standalone dispatch timings are unreliable both ways — every
+    dispatch carries a ~24 ms client floor AND `block_until_ready` can
+    return before compute completes (measured: a 65k-particle superstep
+    "took" 0.27 ms standalone). K iterations in-graph divide both out."""
     ss = make_superstep(space, llb, n_blocks, 1, alpha, "systematic",
                         0.5 * n)
     key = jax.random.PRNGKey(0)
@@ -48,19 +54,30 @@ def bench_superstep(space, llb, n, n_blocks, alpha, reps=3):
     logprior = space.log_prior(params)
     zeros = jnp.zeros(n, jnp.float64)
     ones = jnp.ones(n, jnp.float64)
-    args = (key, params, loglh, logprior, zeros, ones,
-            jnp.float64(0.1), jnp.float64(0.05), jnp.float64(0.5))
+
+    @jax.jit
+    def run(params, loglh, logprior, weights):
+        def body(c):
+            i, p, l, lp, w = c
+            k = jax.random.fold_in(jax.random.PRNGKey(7), i)
+            out = ss(k, p, l, lp, zeros, w, jnp.float64(0.1),
+                     jnp.float64(0.05), jnp.float64(0.5))
+            return i + 1, out[0], out[1], out[2], out[4]
+        out = jax.lax.while_loop(lambda c: c[0] < K, body,
+                                 (jnp.int32(0), params, loglh, logprior,
+                                  weights))
+        # in-graph scalar reduction so nothing can be elided or deferred
+        return out[1].sum() + out[2].sum() + out[4].sum()
+
     t0 = time.perf_counter()
-    out = ss(*args)
-    jax.block_until_ready(out)
+    float(run(params, loglh, logprior, ones))
     t_compile = time.perf_counter() - t0
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = ss(*args)
-        jax.block_until_ready(out)
+        float(run(params, loglh, logprior, ones))
         best = min(best, time.perf_counter() - t0)
-    return best, t_compile
+    return best / K, t_compile
 
 
 def main():
@@ -76,7 +93,7 @@ def main():
         space = ParamSpace(linear_parameters())
         ll = make_linear_loglike(X)
         llb = jax.vmap(lambda th: ll(th, data))
-        n0, n_blocks, alpha = 32_768, 3, 0.9
+        n0, n_blocks, alpha, K = 32_768, 3, 0.9, 20
     elif which == "as":
         from smc_tpu.models.as_dsge import (an_schorfheide,
                                             an_schorfheide_parameters,
@@ -86,7 +103,7 @@ def main():
         as_data = generate_as_data(T=80, seed=1793)
         space = ParamSpace(an_schorfheide_parameters())
         llb = lambda th: model.loglike_batched(th, as_data)
-        n0, n_blocks, alpha = 16_384, 1, 0.9
+        n0, n_blocks, alpha, K = 16_384, 1, 0.9, 10
     else:
         from smc_tpu.models.sw_dsge import (smets_wouters,
                                             load_reference_sw_data)
@@ -94,12 +111,12 @@ def main():
         sw_data = load_reference_sw_data()
         space = ParamSpace(model.parameters)
         llb = lambda th: model.loglike_batched(th, sw_data)
-        n0, n_blocks, alpha = 2_048, 3, 0.9
+        n0, n_blocks, alpha, K = 2_048, 3, 0.9, 2
 
     n = n0
     while n <= max_n:
         try:
-            best, tc = bench_superstep(space, llb, n, n_blocks, alpha)
+            best, tc = bench_superstep(space, llb, n, n_blocks, alpha, K=K)
             emit(model=which, n_parts=n, stage_ms=round(best * 1e3, 2),
                  mutations_per_s=round(n / best, 1),
                  compile_s=round(tc, 1))

@@ -84,10 +84,19 @@ def _deg_factor(cov, tol=1e-12):
     return U, sqrt_lam, inv_lam, rank, logdet
 
 
+def _bmat(x, M):
+    """x [..., k] @ M [k, m] as a broadcast multiply-reduce instead of an
+    f64 `dot_general`. XLA lowers tiny-contraction f64 dots through the
+    emulated-f64 MXU path at ~100x off roofline at these shapes (measured
+    round 3, benchmarks/README.md "Root cause of the old numbers"); the
+    broadcast form fuses into cheap elementwise VPU work. k, m <= ~40."""
+    return jnp.sum(x[..., :, None] * M, axis=-2)
+
+
 def _deg_logpdf(diff, U, inv_lam, rank, logdet, c):
     """log N(x; mu, c^2 Sigma) via the pseudo-inverse factor; diff = x - mu,
     batched over leading dims."""
-    z = diff @ U  # [..., k] projected onto eigenbasis
+    z = _bmat(diff, U)  # [..., k] projected onto eigenbasis
     quad = jnp.sum(z * z * inv_lam, axis=-1) / (c * c)
     return -0.5 * (rank * (_LOG_2PI + 2.0 * jnp.log(c)) + logdet + quad)
 
@@ -155,11 +164,19 @@ def make_mutation_step(
             U, sqrt_lam, inv_lam, rank, logdet = _deg_factor(cov_b)
             diag_sd = jnp.sqrt(jnp.clip(jnp.diag(cov_b), 0.0))
 
-            theta_b = params[:, idx_full]  # [N, k] current block values
+            # Block columns are read/written through a one-hot [k, P] mask
+            # instead of dynamic-index gather/scatter: idx_full is traced
+            # (the random block permutation is data), and TPU lowers the
+            # resulting generic scatter/gather poorly. The mask forms are
+            # bit-exact (each output element is one nonzero term plus
+            # exact zero additions) and fuse into elementwise work.
+            onehot = (idx_full[:, None] ==
+                      jnp.arange(params.shape[1])).astype(params.dtype)
+            theta_b = jnp.sum(params[:, None, :] * onehot, axis=-1)  # [N, k]
 
             # ---- mixture proposal draw (src/helpers.jl:87-100) --------
             eps = jax.random.normal(keps, (n_parts, k), dtype=jnp.float64)
-            full_step = c * (eps * sqrt_lam) @ U.T        # c * Sigma^1/2 eps
+            full_step = c * _bmat(eps * sqrt_lam, U.T)    # c * Sigma^1/2 eps
             diag_step = c * eps * diag_sd
             if alpha >= 1.0:
                 prop = theta_b + full_step
@@ -186,21 +203,32 @@ def make_mutation_step(
                                          logdet, c)
                 lp_bar_prop = _deg_logpdf(prop - mu_b, U, inv_lam, rank,
                                           logdet, c)
-                stack0 = jnp.stack([log_alpha + lp_sym,
-                                    log_half_rest + lp_diag,
-                                    log_half_rest + lp_bar_cur])
-                stack1 = jnp.stack([log_alpha + lp_sym,
-                                    log_half_rest + lp_diag,
-                                    log_half_rest + lp_bar_prop])
-                q0 = jax.scipy.special.logsumexp(stack0, axis=0)
-                q1 = jax.scipy.special.logsumexp(stack1, axis=0)
+                # Both mixtures share their first two components, so one
+                # COMMON max lets the shared exp(lp_sym)/exp(lp_diag) be
+                # computed once — 4 f64 exps per particle instead of 6
+                # (f64 exp is an emulated double-float sequence on TPU and
+                # dominates this block's cost).
+                a_sym = log_alpha + lp_sym
+                a_diag = log_half_rest + lp_diag
+                a_cur = log_half_rest + lp_bar_cur
+                a_prop = log_half_rest + lp_bar_prop
+                m = jnp.maximum(jnp.maximum(a_sym, a_diag),
+                                jnp.maximum(a_cur, a_prop))
+                ms = jnp.where(jnp.isfinite(m), m, 0.0)
+                e_sym = jnp.exp(a_sym - ms)
+                e_diag = jnp.exp(a_diag - ms)
+                q0 = ms + jnp.log(e_sym + e_diag + jnp.exp(a_cur - ms))
+                q1 = ms + jnp.log(e_sym + e_diag + jnp.exp(a_prop - ms))
                 # Inf/Inf guard (src/helpers.jl:160-162)
                 both_inf = jnp.isposinf(q0) & jnp.isposinf(q1)
                 q0 = jnp.where(both_inf, 0.0, q0)
                 log_q_diff = q0 - q1
 
             # ---- evaluate prior & likelihood of proposals -------------
-            params_new = params.at[:, idx_full].set(prop)
+            # Mask write-back (bit-exact; see the one-hot note above).
+            prop_cols = jnp.sum(prop[:, :, None] * onehot, axis=1)  # [N, P]
+            in_block = jnp.sum(onehot, axis=0) > 0                  # [P]
+            params_new = jnp.where(in_block, prop_cols, params)
             prior_new = space.log_prior(params_new)
             like_new = loglike_batched(params_new)
             # ANY non-finite loglh (nan OR +inf) -> -inf: a +inf would be
