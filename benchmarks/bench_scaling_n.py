@@ -113,8 +113,8 @@ def main():
         llb = lambda th: model.loglike_batched(th, sw_data)
         n0, n_blocks, alpha, K = 2_048, 3, 0.9, 2
 
-    n = n0
-    while n <= max_n:
+    n = int(_os.environ.get("SCALE_N0", n0))  # resume mid-envelope after
+    while n <= max_n:                         # an infra crash
         try:
             best, tc = bench_superstep(space, llb, n, n_blocks, alpha, K=K)
             emit(model=which, n_parts=n, stage_ms=round(best * 1e3, 2),
